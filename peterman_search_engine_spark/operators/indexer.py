@@ -1,0 +1,304 @@
+"""Index build & maintenance — SURVEY.md §2.2 (B1-B4, B8-B11).
+
+Reference model (single-node Java LSM): buffer 1000 docs in a sorted
+in-memory table, flush to an immutable on-disk segment, pairwise-merge
+segments (``InvertedIndexManager.java:169-291``). Spark-first
+re-expression:
+
+* ``addDocument``/buffer (B1) -> one declarative dataflow:
+  ``corpus -> analyze -> posexplode -> two-level aggregation``.
+* segment (flush unit, B2) -> ``segment_id = doc_id // docs_per_segment``
+  doc_id-range bucket. Posting lists are stored PER (segment, term), so
+  no task ever materializes a full global posting list — a stop-word
+  term at 10^12 turns splits across segments instead of one reducer.
+  This is also the natural skew defuser: the shuffle key for posting
+  construction is (segment, term, doc_id) and then (segment, term),
+  both well-distributed even for terms occurring in 30%+ of turns.
+* merge (B3/B4) -> ``merge_segments``: re-keying + TWO-PHASE SALTED
+  aggregation by term (the old segment id is the salt), replacing the
+  reference's manual two-pointer dictionary merge and docID rebasing
+  (``IIM:905-953, 1035-1060``) — global dense doc_ids make rebasing
+  unnecessary.
+* compression (B5/B6) -> delta+varint blobs computed in ONE
+  Arrow-vectorized pandas UDF per posting row (numpy, no per-int
+  Python), plus per-block BM25 upper bounds for block-max WAND.
+* DocStore (B10) -> the corpus table itself; point lookup = join on
+  doc_id.
+
+All heavy work happens in two shuffles:
+  shuffle 1: groupBy(segment, term, doc_id)   (positions + tf)
+  shuffle 2: groupBy(segment, term)           (posting lists)
+with Catalyst partial aggregation (map-side combine) on both, and the
+analyzer either pure-JVM column expressions (stem=False) or a single
+fused Arrow UDF (stem=True).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, LongType, StructField, StructType,
+)
+
+from ..functions.analysis import analyze_udf, tokens_expr
+from ..functions.codec import block_offsets, delta_varint_encode
+
+K1 = 1.2
+B = 0.75
+DEFAULT_DOCS_PER_SEGMENT = 100_000
+DEFAULT_BLOCK_SIZE = 128
+
+_ENC_SCHEMA = StructType(
+    [
+        StructField("blob", BinaryType()),
+        StructField("block_starts", ArrayType(LongType())),
+        StructField("block_ubs", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _bm25_tf_part(tf: np.ndarray, doc_len: np.ndarray, avg_len: float) -> np.ndarray:
+    """The per-(term,doc) BM25 factor EXCLUDING idf:
+    tf*(k1+1) / (tf + k1*(1-b+b*len/avglen)). idf is a per-term
+    constant, so max of this over a block times idf is a valid block
+    upper bound."""
+    return tf * (K1 + 1) / (tf + K1 * (1 - B + B * doc_len / avg_len))
+
+
+def _make_encode_udf(avg_len: float, block_size: int):
+    @F.pandas_udf(_ENC_SCHEMA)
+    def _encode(doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series) -> pd.DataFrame:
+        blobs, starts_col, ubs_col = [], [], []
+        for ids, tf, dl in zip(doc_ids, tfs, doc_lens):
+            ids_a = np.asarray(ids, dtype=np.int64)
+            blobs.append(delta_varint_encode(ids_a))
+            tf_a = np.asarray(tf, dtype=np.float64)
+            dl_a = np.asarray(dl, dtype=np.float64)
+            part = _bm25_tf_part(tf_a, dl_a, avg_len)
+            starts, ubs = [], []
+            for s, e in block_offsets(len(ids_a), block_size):
+                starts.append(int(ids_a[s]))
+                ubs.append(float(part[s:e].max()))
+            starts_col.append(starts)
+            ubs_col.append(ubs)
+        return pd.DataFrame(
+            {"blob": blobs, "block_starts": starts_col, "block_ubs": ubs_col}
+        )
+
+    return _encode
+
+
+@dataclass
+class InvertedIndex:
+    """The built index: a set of DataFrames (or loaded Parquet tables).
+
+    postings   (segment long, term string, df long, cf long,
+                doc_ids array<long>, tfs array<int>,
+                positions array<array<int>> | absent,
+                blob binary, block_starts array<long>,
+                block_ubs array<double>)
+    term_stats (term string, df long, cf long)     [global]
+    doc_stats  (doc_id long, doc_len int)
+    n_docs     int
+    avg_len    float
+    """
+
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    n_docs: int
+    avg_len: float
+    positional: bool
+    stem: bool
+
+    def num_segments(self) -> int:
+        return self.postings.select("segment").distinct().count()
+
+    def bm25_idf_col(self):
+        """idf = ln(1 + (N - df + 0.5)/(df + 0.5)) as a Column over
+        term_stats.df."""
+        return F.log(
+            F.lit(1.0)
+            + (F.lit(float(self.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+
+
+def tokenize_corpus(corpus: DataFrame, *, stem: bool = True) -> DataFrame:
+    """corpus(doc_id, text) -> (doc_id, tokens array<string>).
+    stem=True: fused Arrow UDF (A4). stem=False: pure JVM expressions
+    (A1) — whole-stage codegen, zero Python."""
+    if stem:
+        tok = analyze_udf(stem=True)(F.col("text"))
+    else:
+        tok = tokens_expr("text")
+    return corpus.select("doc_id", tok.alias("tokens"))
+
+
+def build_index(
+    corpus: DataFrame,
+    *,
+    stem: bool = True,
+    positional: bool = True,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> InvertedIndex:
+    """B1+B2: the full batch index build. corpus = (doc_id, text)."""
+    toks = tokenize_corpus(corpus, stem=stem)
+    # (doc_id, doc_len, pos, term); positions are post-stop-filter
+    # indexes (IIM:173-184) because the analyzer already filtered.
+    exploded = toks.select(
+        "doc_id",
+        F.size("tokens").alias("doc_len"),
+        F.posexplode("tokens").alias("pos", "term"),
+    )
+    seg = (F.col("doc_id") / F.lit(docs_per_segment)).cast("long").alias("segment")
+
+    # shuffle 1: per (segment, term, doc) tf + sorted positions.
+    td = exploded.groupBy(seg, "term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.first("doc_len").alias("doc_len"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+    # doc stats + corpus stats (separate cheap agg over tokens).
+    doc_stats = toks.select(
+        "doc_id", F.size("tokens").alias("doc_len")
+    )
+    row = doc_stats.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    n_docs, avg_len = int(row["n"]), float(row["avg"] or 0.0)
+
+    # shuffle 2: per (segment, term) sorted posting list. sort_array on
+    # struct sorts by the first field (doc_id) — reference invariant
+    # "postings sorted by docID" (IIM:228-234).
+    plist = F.sort_array(
+        F.collect_list(F.struct("doc_id", "tf", "positions", "doc_len"))
+    ).alias("plist")
+    seg_postings = td.groupBy("segment", "term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        plist,
+    )
+    cols = [
+        "segment",
+        "term",
+        "df",
+        "cf",
+        F.col("plist.doc_id").alias("doc_ids"),
+        F.col("plist.tf").alias("tfs"),
+    ]
+    if positional:
+        cols.append(F.col("plist.positions").alias("positions"))
+    cols.append(F.col("plist.doc_len").alias("_doc_lens"))
+    seg_postings = seg_postings.select(*cols)
+
+    enc = _make_encode_udf(avg_len, block_size)(
+        F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")
+    )
+    seg_postings = (
+        seg_postings.withColumn("_enc", enc)
+        .withColumn("blob", F.col("_enc.blob"))
+        .withColumn("block_starts", F.col("_enc.block_starts"))
+        .withColumn("block_ubs", F.col("_enc.block_ubs"))
+        .drop("_enc", "_doc_lens")
+    )
+
+    # Global term stats: input is one row per (segment, term) — already
+    # partially aggregated, so this groupBy(term) moves only
+    # #segments×#terms rows, never postings. (Q6/Q10.)
+    term_stats = seg_postings.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+
+    return InvertedIndex(
+        postings=seg_postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=n_docs,
+        avg_len=avg_len,
+        positional=positional,
+        stem=stem,
+    )
+
+
+def merge_segments(
+    index: InvertedIndex,
+    *,
+    factor: int = 2,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> InvertedIndex:
+    """B3/B4 mergeAllSegments: coalesce groups of ``factor`` adjacent
+    segments (reference merges pairs, halving the count —
+    ``IIM:277-290``; factor=2 reproduces that).
+
+    Two-phase salted aggregation by term: phase 1 is implicit (the
+    input is already one row per (old segment, term) — the old segment
+    id IS the salt), phase 2 groups by (new_segment, term) and
+    flattens. Because input segments are doc_id ranges and structs
+    sort by doc_id, sort_array(flatten(...)) restores the global
+    doc_id order — no docID rebasing needed (global dense ids; the
+    reference instead rebases seg2 ids by +size(seg1), IIM:1054-1056).
+    """
+    p = index.postings.withColumn(
+        "segment", (F.col("segment") / F.lit(factor)).cast("long")
+    )
+    part_fields = ["doc_ids", "tfs"] + (["positions"] if index.positional else [])
+    # One struct per OLD segment, keyed by its first doc_id; sorting
+    # those structs and flattening restores global doc_id order because
+    # old segments are disjoint doc_id ranges.
+    part = F.struct(
+        F.element_at("doc_ids", 1).alias("_k"),
+        F.struct(*part_fields).alias("v"),
+    )
+    merged = p.groupBy("segment", "term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.sort_array(F.collect_list(part)).alias("_parts"),
+    )
+    merged = merged.select(
+        "segment", "term", "df", "cf",
+        *[F.flatten(F.col(f"_parts.v.{f}")).alias(f) for f in part_fields],
+    )
+    # Re-encode blobs/blocks for the merged lists. Per-doc lengths are
+    # recovered from doc_stats via an explode + join; Catalyst/AQE
+    # picks broadcast vs sort-merge by doc_stats size.
+    dl = index.doc_stats
+    with_len = (
+        merged.select("segment", "term", F.explode("doc_ids").alias("_d"))
+        .join(dl, F.col("_d") == dl.doc_id, "left")
+        .groupBy("segment", "term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_d").alias("doc_id"), F.col("doc_len")))
+            ).alias("_dl")
+        )
+        .select("segment", "term", F.col("_dl.doc_len").alias("_doc_lens"))
+    )
+    merged = merged.join(with_len, ["segment", "term"])
+    enc = _make_encode_udf(index.avg_len, block_size)(
+        F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")
+    )
+    merged = (
+        merged.withColumn("_enc", enc)
+        .withColumn("blob", F.col("_enc.blob"))
+        .withColumn("block_starts", F.col("_enc.block_starts"))
+        .withColumn("block_ubs", F.col("_enc.block_ubs"))
+        .drop("_enc", "_doc_lens")
+    )
+    return InvertedIndex(
+        postings=merged,
+        term_stats=index.term_stats,
+        doc_stats=index.doc_stats,
+        n_docs=index.n_docs,
+        avg_len=index.avg_len,
+        positional=index.positional,
+        stem=index.stem,
+    )

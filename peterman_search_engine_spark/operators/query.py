@@ -1,0 +1,256 @@
+"""Query operators — SURVEY.md §2.3 (Q1-Q13, Q17).
+
+Every query is a declarative DataFrame plan over the index tables:
+
+* query terms (tiny) join the postings via an IN-filter — Parquet
+  predicate pushdown prunes files by the ``term`` column, the
+  Spark-side analogue of the reference's per-segment dictionary skip
+  (``InvertedIndexManager.java:390, 617``).
+* doc-level aggregation is a hash aggregate (Catalyst partial+final —
+  exactly the reference's per-segment accumulator maps, ``IIM:614-638``,
+  but distributed).
+* top-k is ``orderBy(desc(score), doc_id).limit(k)`` →
+  ``TakeOrderedAndProject`` (per-partition bounded heap + driver merge;
+  the distributed form of the reference's MinMaxPriorityQueue,
+  ``IIM:574-582``). Tiebreak is the canonical (-score, doc_id) (§2.4).
+* block-max WAND (north-star addition) prunes posting blocks whose
+  stored upper bound cannot beat the running k-th score — implemented
+  in ``wand.py`` as an applyInPandas over per-segment posting groups.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import analyze_query
+from .indexer import B, K1, InvertedIndex
+
+
+def _analyzed(index: InvertedIndex, terms: list[str]) -> list[str]:
+    return analyze_query(terms, stem=index.stem)
+
+
+def _postings_for(index: InvertedIndex, toks: list[str]) -> DataFrame:
+    """Postings restricted to the query terms. The isin filter pushes
+    down to the Parquet scan of a persisted index."""
+    return index.postings.filter(F.col("term").isin(list(set(toks))))
+
+
+# -- Q1-Q3: keyword / AND / OR ------------------------------------------------
+
+def search_and(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Q2 (and Q1 with one term): docs containing ALL analyzed terms.
+    Set-intersection (IIM:1156-1157) as a count-matching semi-join:
+    explode postings for the q terms, count distinct matched terms per
+    doc, keep docs matching all. Returns (doc_id)."""
+    toks = sorted(set(_analyzed(index, terms)))
+    spark = index.postings.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long")
+    p = _postings_for(index, toks)
+    hits = p.select("term", F.explode("doc_ids").alias("doc_id"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_n"))
+        .filter(F.col("_n") == len(toks))
+        .select("doc_id")
+    )
+
+
+def search_keyword(index: InvertedIndex, keyword: str) -> DataFrame:
+    """Q1: analyze the keyword (may produce several tokens) and AND
+    them; empty/blank string -> empty result (IIM:305-307)."""
+    if not keyword.strip():
+        return index.postings.sparkSession.createDataFrame([], "doc_id long")
+    return search_and(index, [keyword])
+
+
+def search_or(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Q3: docs containing ANY analyzed term (IIM:1158-1159)."""
+    toks = sorted(set(_analyzed(index, terms)))
+    spark = index.postings.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long")
+    p = _postings_for(index, toks)
+    return p.select(F.explode("doc_ids").alias("doc_id")).distinct()
+
+
+# -- Q4: phrase ---------------------------------------------------------------
+
+def search_phrase(index: InvertedIndex, phrase: list[str]) -> DataFrame:
+    """Q4: consecutive-position phrase match on the positional index.
+
+    Reference semantics (IIM:360-460): analyzer applied to the joined
+    phrase (stop words removed SHIFT positions — positions are indexes
+    in the filtered token list); doc matches iff exists p in
+    pos(tok_0) with p+j in pos(tok_j) for all j. Implemented as an
+    n-way join of per-term (doc_id, positions) restricted to query
+    terms, with the consecutive test as pure array expressions
+    (JVM-side): exists(p0, p -> array_contains(pj, p+j) for all j).
+    """
+    if not index.positional:
+        raise ValueError("phrase search requires a positional index (IIM:364-366)")
+    toks = _analyzed(index, phrase)
+    spark = index.postings.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long")
+    p = _postings_for(index, toks)
+    per_term = p.select(
+        "term",
+        F.explode(F.arrays_zip("doc_ids", "positions")).alias("_z"),
+    ).select(
+        "term",
+        F.col("_z.doc_ids").alias("doc_id"),
+        F.col("_z.positions").alias("positions"),
+    )
+    parts = []
+    for j, t in enumerate(toks):
+        parts.append(
+            per_term.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{j}")
+            )
+        )
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    cond: Column = F.exists(
+        F.col("p0"),
+        lambda p0: reduce(
+            lambda acc, j: acc & F.array_contains(F.col(f"p{j}"), p0 + j),
+            range(1, len(toks)),
+            F.lit(True),
+        ),
+    )
+    return joined.filter(cond).select("doc_id")
+
+
+# -- Q5-Q8: TF-IDF (reference semantics) --------------------------------------
+
+def tfidf_scores(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Q5-Q8 exact reference semantics: idf = log10(N/df) (IIM:567);
+    query weight = query-token-count × idf (IIM:671-689); score =
+    dot / sqrt(Σ_query-terms (tf·idf)²) (IIM:629-650 — the norm runs
+    over query-term components only, §2.4). Returns (doc_id, score)."""
+    toks = _analyzed(index, terms)
+    spark = index.postings.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qtf: dict[str, int] = {}
+    for t in toks:
+        qtf[t] = qtf.get(t, 0) + 1
+    qdf = spark.createDataFrame(
+        [(t, float(n)) for t, n in sorted(qtf.items())], "term string, qtf double"
+    )
+    n_docs = float(index.n_docs)
+    # idf from GLOBAL term stats (pass 1, IIM:543-569)
+    idf = (
+        index.term_stats.join(F.broadcast(qdf), "term")
+        .withColumn("idf", F.log10(F.lit(n_docs) / F.col("df")))
+        .select("term", "qtf", "idf")
+    )
+    p = _postings_for(index, list(qtf))
+    hits = p.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "tfs")).alias("_z")
+    ).select(
+        "term", F.col("_z.doc_ids").alias("doc_id"), F.col("_z.tfs").alias("tf")
+    )
+    w = F.col("tf") * F.col("idf")
+    scored = (
+        hits.join(F.broadcast(idf), "term")
+        .withColumn("_dot", w * F.col("qtf") * F.col("idf"))
+        .withColumn("_len", w * w)
+        .groupBy("doc_id")
+        .agg(F.sum("_dot").alias("dot"), F.sum("_len").alias("len"))
+        .withColumn(
+            "score",
+            F.when(F.col("len") > 0, F.col("dot") / F.sqrt("len")).otherwise(F.lit(0.0)),
+        )
+        .select("doc_id", "score")
+    )
+    return scored
+
+
+def search_tfidf(index: InvertedIndex, terms: list[str], top_k: int | None) -> DataFrame:
+    """Q5: ranked TF-IDF; top_k=None -> all matches (IIM:575-576).
+    Returns (doc_id, score) ordered by (-score, doc_id)."""
+    return top_k_df(tfidf_scores(index, terms), top_k)
+
+
+# -- BM25 (the rebuild's primary ranker) ---------------------------------------
+
+def bm25_scores(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """BM25 with k1=1.2, b=0.75; idf = ln(1+(N-df+.5)/(df+.5)); query
+    term multiplicity multiplies the contribution (consistent with the
+    reference's query-tf treatment, IIM:674-677).
+    Returns (doc_id, score)."""
+    toks = _analyzed(index, terms)
+    spark = index.postings.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qtf: dict[str, int] = {}
+    for t in toks:
+        qtf[t] = qtf.get(t, 0) + 1
+    qdf = spark.createDataFrame(
+        [(t, float(n)) for t, n in sorted(qtf.items())], "term string, qtf double"
+    )
+    idf = (
+        index.term_stats.join(F.broadcast(qdf), "term")
+        .withColumn("idf", index.bm25_idf_col())
+        .select("term", "qtf", "idf")
+    )
+    p = _postings_for(index, list(qtf))
+    hits = p.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "tfs")).alias("_z")
+    ).select(
+        "term", F.col("_z.doc_ids").alias("doc_id"), F.col("_z.tfs").alias("tf")
+    )
+    dl = index.doc_stats
+    denom = F.col("tf") + F.lit(K1) * (
+        F.lit(1 - B) + F.lit(B) * F.col("doc_len") / F.lit(index.avg_len)
+    )
+    contrib = F.col("qtf") * F.col("idf") * F.col("tf") * F.lit(K1 + 1) / denom
+    return (
+        hits.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .withColumn("_c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("score"))
+        .select("doc_id", "score")
+    )
+
+
+def search_bm25(index: InvertedIndex, terms: list[str], top_k: int | None) -> DataFrame:
+    return top_k_df(bm25_scores(index, terms), top_k)
+
+
+# -- Q17: top-k ---------------------------------------------------------------
+
+def top_k_df(scored: DataFrame, top_k: int | None) -> DataFrame:
+    """Deterministic top-k: ORDER BY score DESC, doc_id ASC [LIMIT k] →
+    Catalyst TakeOrderedAndProject (per-partition heap, driver merge)."""
+    out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(top_k) if top_k is not None else out
+
+
+# -- Q11/Q13: full scans ------------------------------------------------------
+
+def full_scan_search(corpus: DataFrame, terms: list[str], *, stem: bool = True) -> DataFrame:
+    """Q13 FullScanSearcher (the reference's debug oracle,
+    FullScanSearcher.java:27-40): docs whose analyzed token list
+    contains all analyzed query tokens. Pure DataFrame re-statement."""
+    from .indexer import tokenize_corpus
+
+    toks = sorted(set(analyze_query(terms, stem=stem)))
+    if not toks:
+        return corpus.sparkSession.createDataFrame([], "doc_id long")
+    t = tokenize_corpus(corpus, stem=stem)
+    cond = reduce(
+        lambda acc, tok: acc & F.array_contains("tokens", tok), toks, F.lit(True)
+    )
+    return t.filter(cond).select("doc_id")
+
+
+def fetch_documents(corpus: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """DocStore point-lookup analogue (B10): join back to text."""
+    return doc_ids.join(corpus, "doc_id").select("doc_id", "text")

@@ -1,0 +1,71 @@
+"""Corpus adapters: any input table -> the canonical corpus shape
+``(doc_id long, text string)``.
+
+docID semantics carried from the reference: dense int assigned in
+insertion order (``InvertedIndexManager.java:60, 194-197``). For
+transcripts, insertion order is the stable (conv_id, turn_idx)
+ordering mandated by the north star; the dense id is materialized ONCE
+(one global sort) and reused everywhere — this removes the reference's
+segment-renumbering hazard (SURVEY.md §2.4).
+
+At 100 TB the global ``row_number`` over one window is the wrong tool
+(single-partition window). ``docmap`` therefore uses the scalable
+two-level scheme: sort partitions by range, count rows per partition,
+prefix-sum the counts driver-side (tiny), and add the per-partition
+base to a partition-local row number — one range shuffle total, no
+single-reducer stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def corpus_from_transcripts(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, ..., text) -> (doc_id, text) with dense
+    doc_id in stable (conv_id, turn_idx) order."""
+    return assign_dense_doc_ids(transcripts, ["conv_id", "turn_idx"]).select(
+        "doc_id", "text"
+    )
+
+
+def corpus_from_documents(documents: DataFrame) -> DataFrame:
+    """The driver testdata ``documents`` table already carries a dense
+    ``doc_id``; pass it through."""
+    return documents.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+def assign_dense_doc_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Dense 0-based ``doc_id`` in ``order_cols`` order, scalably.
+
+    Range-partition by the ordering key, sort within partitions, then
+    combine a driver-side prefix sum of partition counts with a
+    partition-local row_number. The only wide exchange is the range
+    partitioner; no stage ever sees more than one partition of data.
+    """
+    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    # Tiny aggregate: one row per partition.
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    bases = {}
+    acc = 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_col = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(base))
+            for pid, base in sorted(bases.items())
+        ],
+        F.lit(0),
+    ) if bases else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("doc_id", (base_col + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn")
+    )
