@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (plus the training-data pipeline operators); each has a
+DuckDB-runnable ``oracle_sql()`` twin built in
+``peterman_search_engine_spark.oracle.sqlgen``. Scores are emitted as
+``ROUND(x*1e6)`` BIGINT columns on BOTH sides so the driver's
+order-insensitive value-hash compares exact integers, and every
+LIMIT/top-k ranks on the rounded value with a doc_id tiebreak so the
+selected row set is engine-independent.
+
+Driver-gated queries run the A1 tokenize-only analyzer (DuckDB's
+Porter extension is unavailable offline); the Porter-stemmed pipeline
+(A3/A4) is verified by pytest against the pure-Python oracle
+(tests/test_index_vs_oracle.py).
 """
 
 from __future__ import annotations
@@ -12,27 +20,319 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peterman_search_engine_spark.functions import textstats as TS
+from peterman_search_engine_spark.functions.analysis import tokens_expr
+from peterman_search_engine_spark.operators import dedup as DD
+from peterman_search_engine_spark.operators import query as Q
+from peterman_search_engine_spark.operators import similarity as SIM
+from peterman_search_engine_spark.operators.indexer import build_index
+from peterman_search_engine_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+)
+from peterman_search_engine_spark.operators.pagerank import pagerank
+from peterman_search_engine_spark.oracle import sqlgen as S
+from peterman_search_engine_spark.sources.adapters import corpus_from_documents
+from peterman_search_engine_spark.sources.graph import generate_edges
+
+_INDEX_CACHE: dict = {}
+
+AND_TERMS = ["spark", "merge", "window"]
+OR_TERMS = ["vector", "stream"]
+PHRASE = ["fast", "table"]
+BM25_TERMS = ["spark", "merge"]
+TFIDF_TERMS = ["query", "data", "data"]  # duplicate exercises query tf
+POSTING_TERMS = ["spark", "vector", "customer"]
+TOP_K = 10
+PR_ITERS = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_from_documents(_docs(spark, sf_dir))
+
+
+def _index(spark: SparkSession, sf_dir: str, *, single_segment: bool = False):
+    key = (id(spark), sf_dir, single_segment)
+    if key not in _INDEX_CACHE:
+        dps = 10**12 if single_segment else 200
+        idx = build_index(
+            _corpus(spark, sf_dir), stem=False, positional=True, docs_per_segment=dps
+        )
+        idx.postings = idx.postings.localCheckpoint(eager=True)
+        idx.doc_stats = idx.doc_stats.localCheckpoint(eager=True)
+        idx.term_stats = idx.term_stats.localCheckpoint(eager=True)
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _e6(col):
+    return F.round(col * 1_000_000).cast("long")
+
+
+def _ranked_e6(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    return (
+        scored.withColumn("score_e6", _e6(F.col("score")))
+        .select(id_col, "score_e6")
+        .orderBy(F.desc("score_e6"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_and(spark, sf):
+    return Q.search_and(_index(spark, sf), AND_TERMS)
+
+
+def q_or(spark, sf):
+    return Q.search_or(_index(spark, sf), OR_TERMS)
+
+
+def q_phrase(spark, sf):
+    return Q.search_phrase(_index(spark, sf), PHRASE)
+
+
+def q_bm25(spark, sf):
+    idx = _index(spark, sf)
+    return _ranked_e6(Q.bm25_scores(idx, BM25_TERMS), TOP_K)
+
+
+def q_tfidf(spark, sf):
+    idx = _index(spark, sf)
+    return _ranked_e6(Q.tfidf_scores(idx, TFIDF_TERMS), TOP_K)
+
+
+def q_term_stats(spark, sf):
+    idx = _index(spark, sf)
+    return (
+        idx.term_stats.select("term", "df", "cf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_doc_stats(spark, sf):
+    idx = _index(spark, sf)
+    return idx.doc_stats.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+def q_postings(spark, sf):
+    idx = _index(spark, sf)
+    p = idx.postings.filter(F.col("term").isin(POSTING_TERMS))
+    return p.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "tfs", "positions")).alias("z")
+    ).select(
+        "term",
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.tfs").cast("long").alias("tf"),
+        F.element_at(F.col("z.positions"), 1).cast("long").alias("first_pos"),
+    )
+
+
+def q_compressed_size(spark, sf):
+    idx = _index(spark, sf, single_segment=True)
+    return (
+        idx.postings.select(
+            "term",
+            F.length("blob").cast("long").alias("blob_bytes"),
+            (F.col("df") * 4).cast("long").alias("naive_bytes"),
+        )
+        .orderBy(F.desc("blob_bytes"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return DD.dedup_exact(_corpus(spark, sf))
+
+
+def q_minhash(spark, sf):
+    return DD.minhash_signatures(_corpus(spark, sf))
+
+
+def q_lsh_pairs(spark, sf):
+    return DD.lsh_candidate_pairs(_corpus(spark, sf))
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    return DD.ngram_jaccard_pairs(docs, block_col="source")
+
+
+def q_simhash(spark, sf):
+    return DD.simhash(_corpus(spark, sf))
+
+
+def _query_vec(spark, sf):
+    row = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _query_vec(spark, sf)
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        SIM.cosine(F.col("embedding"), F.array(*[F.lit(v) for v in qv])).alias("cos"),
+    )
+    return (
+        scored.withColumn("cos_e6", _e6(F.col("cos")))
+        .select("vec_id", "cos_e6")
+        .orderBy(F.desc("cos_e6"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_ann_lsh(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _query_vec(spark, sf)
+    buckets = SIM.lsh_buckets(emb, dim=len(qv))
+    qbucket = buckets.filter(F.col("vec_id") == 0).collect()[0]["bucket"]
+    cand = buckets.filter(
+        (F.col("bucket") == qbucket) & (F.col("vec_id") != 0)
+    ).select("vec_id")
+    scored = (
+        emb.join(cand, "vec_id")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            SIM.cosine(F.col("embedding"), F.array(*[F.lit(v) for v in qv])).alias("cos"),
+        )
+    )
+    return (
+        scored.withColumn("cos_e6", _e6(F.col("cos")))
+        .select("vec_id", "cos_e6")
+        .orderBy(F.desc("cos_e6"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_token_counts(spark, sf):
+    return _corpus(spark, sf).select(
+        "doc_id",
+        TS.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TS.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_quality(spark, sf):
+    return _corpus(spark, sf).select(
+        "doc_id", _e6(TS.quality_score(F.col("text"))).alias("quality_e6")
+    )
+
+
+def q_lang_id(spark, sf):
+    return _corpus(spark, sf).select(
+        "doc_id", TS.lang_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+def q_fingerprint(spark, sf):
+    toks = _corpus(spark, sf).select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "term")
+    )
+    return toks.groupBy("doc_id").agg(
+        (F.sum(TS.fingerprint_term(F.col("pos"), F.col("term"))) % TS.FP_MOD)
+        .cast("long")
+        .alias("fp")
+    )
+
+
+def q_multimodal(spark, sf):
+    media = attach_fake_media(_corpus(spark, sf))
+    return extract_features(media)
+
+
+def q_events_window(spark, sf):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        _e6(F.sum("value")).alias("sum_value_e6"),
+    )
+
+
+def q_pagerank(spark, sf):
+    n = _docs(spark, sf).count()
+    edges = generate_edges(spark, n)
+    pr = pagerank(edges, PR_ITERS)
+    return pr.select(
+        F.col("node").cast("long").alias("node"), _e6(F.col("pr")).alias("pr_e6")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 on sf0.001; driver checks rows>0."""
+    return q_bm25(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "and_search": q_and,
+        "or_search": q_or,
+        "phrase_search": q_phrase,
+        "bm25_topk": q_bm25,
+        "tfidf_topk": q_tfidf,
+        "term_stats": q_term_stats,
+        "doc_stats": q_doc_stats,
+        "postings_dump": q_postings,
+        "posting_compression": q_compressed_size,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_minhash,
+        "dedup_lsh_pairs": q_lsh_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
+        "text_token_counts": q_token_counts,
+        "text_quality": q_quality,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal,
+        "events_hourly": q_events_window,
+        "pagerank": q_pagerank,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "and_search": S.sql_and(AND_TERMS),
+        "or_search": S.sql_or(OR_TERMS),
+        "phrase_search": S.sql_phrase(PHRASE),
+        "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
+        "tfidf_topk": S.sql_tfidf(TFIDF_TERMS, TOP_K),
+        "term_stats": S.sql_term_stats(50),
+        "doc_stats": S.sql_doc_stats(),
+        "postings_dump": S.sql_postings(POSTING_TERMS),
+        "posting_compression": S.sql_compressed_size(50),
+        "dedup_exact": S.sql_dedup_exact(),
+        "dedup_minhash": S.sql_minhash(),
+        "dedup_lsh_pairs": S.sql_lsh_pairs(),
+        "dedup_ngram_jaccard": S.sql_ngram_jaccard("source"),
+        "dedup_simhash": S.sql_simhash(),
+        "ann_cosine_topk": S.sql_ann_cosine(TOP_K),
+        "ann_lsh_topk": S.sql_ann_lsh(TOP_K),
+        "text_token_counts": S.sql_token_counts(),
+        "text_quality": S.sql_quality(),
+        "text_lang_id": S.sql_lang_id(),
+        "text_fingerprint": S.sql_fingerprint(),
+        "multimodal_features": S.sql_multimodal(),
+        "events_hourly": S.sql_events_window(),
+        "pagerank": S.sql_pagerank(PR_ITERS),
+    }

@@ -1,0 +1,106 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All of these are pure Column expressions — they run JVM-side inside
+whole-stage codegen, no Python in the hot path, and each has an exact
+ANSI-SQL mirror (used as the DuckDB oracle in __spark_entry__.py).
+
+Hash convention (portable across engines): ``md5_long(s)`` = first 14
+hex chars of md5(s) parsed as a base-16 integer (56 bits, fits int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .analysis import tokens_expr
+from .stopwords import STOP_WORDS
+
+# BPE-ish word/number/symbol pieces — mirrors a byte-pair-encoder's
+# pre-tokenization split (letters | digits | single punctuation).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+PUNCT_RE = "[,.;?!]"
+FP_MOD = 1_000_000_007
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 56-bit hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish piece count: maximal letter runs, digit runs, and
+    single non-alphanumeric symbols of the lowercased text."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_RE))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace-split lowercase tokens that are in the
+    reference's 127-word stop list."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stops = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    n = F.size(toks)
+    k = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(n > 0, k.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.when(
+        F.length(text) > 0,
+        F.regexp_count(text, F.lit(PUNCT_RE)).cast("double") / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: rewards reasonable length,
+    moderate stop-word density, low punctuation noise. Deterministic
+    formula shared with the SQL oracle:
+      0.4·min(n_ws_tokens/40, 1)
+    + 0.4·(1 − |stopword_ratio − 0.4|)
+    + 0.2·(1 − min(punct_ratio·10, 1))
+    """
+    ntok = ws_token_count(text).cast("double")
+    return (
+        F.lit(0.4) * F.least(ntok / F.lit(40.0), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - F.abs(stopword_ratio(text) - F.lit(0.4)))
+        + F.lit(0.2)
+        * (F.lit(1.0) - F.least(punct_ratio(text) * F.lit(10.0), F.lit(1.0)))
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID (n-gram/stop-word evidence): English if
+    the stop-word ratio clears a threshold OR the text contains >=2 of
+    a small set of high-frequency English bigrams; else 'other'.
+    (Real model inference is out of scope; the Spark-side plumbing is
+    the deliverable — swap the expression for a model UDF in prod.)"""
+    sw = stopword_ratio(text)
+    lowered = F.lower(text)
+    bigram_hits = sum(
+        F.when(lowered.contains(b), 1).otherwise(0)
+        for b in ["the ", " of ", " and ", " is ", " a "]
+    )
+    return F.when((sw >= 0.15) | (bigram_hits >= 2), F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def fingerprint_components(text: Column):
+    """Position-weighted document fingerprint over analyzed tokens
+    (stop words removed, unstemmed — the A1 tokenizer):
+      fp = ( Σ_pos (pos+1) · (md5_long(token) % M) ) % M,  M = 1e9+7.
+    Order-sensitive (swapping two tokens changes fp), parallel-friendly
+    (a plain sum), and exactly SQL-expressible. Returns the token
+    array column; the caller aggregates post-posexplode."""
+    return tokens_expr(text)
+
+
+def fingerprint_term(pos: Column, term: Column) -> Column:
+    return (pos + 1).cast("long") * (md5_long(term) % F.lit(FP_MOD))

@@ -1,0 +1,408 @@
+"""ANSI-SQL (DuckDB-runnable) oracle equivalents of the engine's
+operators, used by __spark_entry__.oracle_sql().
+
+Every query here mirrors a Spark DataFrame plan exactly — same
+analyzer (A1 tokenize-only: Porter stemming is exercised separately in
+pytest because DuckDB's stemmer extension is unavailable offline),
+same md5-derived portable hashes, same float handling (scores are
+emitted as ROUND(x*1e6) BIGINT so value comparison is exact integer
+equality; ranking/LIMIT is applied on the rounded value with doc_id
+tiebreak on BOTH sides, making top-k selection deterministic and
+engine-independent).
+"""
+
+from __future__ import annotations
+
+from ..functions.stopwords import STOP_WORDS
+from ..functions.textstats import BPE_RE, FP_MOD, PUNCT_RE
+from ..operators.similarity import NUM_PLANES
+
+STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+# A1 tokenizer over the documents view: (doc_id, tok, pos) with
+# positions assigned AFTER stop-word removal (IIM:173-184).
+TOKS_CTE = f"""
+raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[\\s,.;?!]+')) AS tok,
+         generate_subscripts(regexp_split_to_array(lower(text), '[\\s,.;?!]+'), 1) AS ord
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM raw
+  WHERE tok <> '' AND tok NOT IN ({STOP_SQL})
+)
+"""
+
+# doc lengths over ALL docs (zero-token docs => len 0)
+DL_CTE = """
+dl AS (
+  SELECT d.doc_id, count(t.tok) AS len
+  FROM documents d LEFT JOIN toks t USING (doc_id)
+  GROUP BY d.doc_id
+)
+"""
+
+MD5L = "CAST(CAST('0x' || substr(md5({x}), 1, 14) AS UBIGINT) AS BIGINT)"
+
+
+def _md5l(x: str) -> str:
+    return MD5L.format(x=x)
+
+
+def sql_and(terms: list[str]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH {TOKS_CTE}
+SELECT doc_id FROM toks WHERE tok IN ({inlist})
+GROUP BY doc_id HAVING count(DISTINCT tok) = {len(set(terms))}
+ORDER BY doc_id"""
+
+
+def sql_or(terms: list[str]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE tok IN ({inlist}) ORDER BY doc_id"""
+
+
+def sql_phrase(terms: list[str]) -> str:
+    joins, conds = [], [f"t0.tok = '{terms[0]}'"]
+    for j in range(1, len(terms)):
+        joins.append(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        )
+        conds.append(f"t{j}.tok = '{terms[j]}'")
+    return f"""WITH {TOKS_CTE}
+SELECT DISTINCT t0.doc_id AS doc_id
+FROM toks t0 {' '.join(joins)}
+WHERE {' AND '.join(conds)}
+ORDER BY doc_id"""
+
+
+def _qtf_values(terms: list[str]) -> str:
+    qtf: dict[str, int] = {}
+    for t in terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    return ", ".join(f"('{t}', {float(n)})" for t, n in sorted(qtf.items()))
+
+
+def sql_bm25(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""WITH {TOKS_CTE}, {DL_CTE},
+q(term, qtf) AS (VALUES {_qtf_values(terms)}),
+n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / n.avglen))) AS score
+  FROM tf JOIN q ON tf.tok = q.term
+          JOIN df ON df.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id, n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
+def sql_tfidf(terms: list[str], k: int) -> str:
+    return f"""WITH {TOKS_CTE},
+q(term, qtf) AS (VALUES {_qtf_values(terms)}),
+n AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+parts AS (
+  SELECT tf.doc_id,
+         (tf.tf * log10(n.n / df.df)) * (q.qtf * log10(n.n / df.df)) AS dot,
+         (tf.tf * log10(n.n / df.df)) * (tf.tf * log10(n.n / df.df)) AS len2
+  FROM tf JOIN q ON tf.tok = q.term JOIN df ON df.tok = tf.tok, n
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN sum(len2) > 0 THEN sum(dot) / sqrt(sum(len2)) ELSE 0.0 END AS score
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
+def sql_term_stats(limit: int) -> str:
+    return f"""WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks GROUP BY tok
+ORDER BY df DESC, term LIMIT {limit}"""
+
+
+def sql_doc_stats() -> str:
+    return f"""WITH {TOKS_CTE}, {DL_CTE}
+SELECT doc_id, len AS doc_len FROM dl ORDER BY doc_id"""
+
+
+def sql_postings(terms: list[str]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in sorted(terms))
+    return f"""WITH {TOKS_CTE}
+SELECT tok AS term, doc_id, count(*) AS tf, min(pos) AS first_pos
+FROM toks WHERE tok IN ({inlist})
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sql_compressed_size(limit: int) -> str:
+    """Varint byte size of each term's delta-encoded posting list —
+    computed arithmetically (exact thresholds, no float log)."""
+    return f"""WITH {TOKS_CTE},
+posting AS (SELECT tok AS term, doc_id FROM toks GROUP BY 1, 2),
+deltas AS (
+  SELECT term,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS d
+  FROM posting
+),
+bytes AS (
+  SELECT term,
+         CASE WHEN d < 128 THEN 1 WHEN d < 16384 THEN 2
+              WHEN d < 2097152 THEN 3 WHEN d < 268435456 THEN 4
+              ELSE 5 END AS nb
+  FROM deltas
+)
+SELECT term, CAST(sum(nb) AS BIGINT) AS blob_bytes, CAST(count(*) * 4 AS BIGINT) AS naive_bytes
+FROM bytes GROUP BY term
+ORDER BY blob_bytes DESC, term LIMIT {limit}"""
+
+
+def sql_dedup_exact() -> str:
+    return """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY 1"""
+
+
+SHINGLE_CTE = f"""
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)
+"""
+
+
+def sql_minhash(num_hashes: int = 4) -> str:
+    mins = ", ".join(
+        f"min({_md5l(chr(39) + str(k) + ':' + chr(39) + ' || shingle')}) AS mh_{k}"
+        for k in range(num_hashes)
+    )
+    return f"""WITH {TOKS_CTE}, {SHINGLE_CTE}
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id ORDER BY doc_id"""
+
+
+def sql_lsh_pairs(num_hashes: int = 4) -> str:
+    sig_cols = ", ".join(
+        f"min({_md5l(chr(39) + str(k) + ':' + chr(39) + ' || shingle')}) AS mh_{k}"
+        for k in range(num_hashes)
+    )
+    unpiv = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, mh_{k} AS val FROM sig" for k in range(num_hashes)
+    )
+    return f"""WITH {TOKS_CTE}, {SHINGLE_CTE},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({unpiv})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+def sql_ngram_jaccard(block_col: str) -> str:
+    return f"""WITH {TOKS_CTE}, {SHINGLE_CTE},
+shb AS (SELECT sh.doc_id, sh.shingle, d.{block_col} AS blk
+        FROM sh JOIN documents d USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shb a JOIN shb b
+    ON a.shingle = b.shingle AND a.blk = b.blk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(1000000.0 * i / (sa.sz + sb.sz - i)) AS BIGINT) AS jacc_e6
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 1.0 * i / (sa.sz + sb.sz - i) > 0.0
+ORDER BY doc_a, doc_b"""
+
+
+def sql_simhash(bits: int = 16) -> str:
+    return f"""WITH {TOKS_CTE},
+h AS (SELECT doc_id, {_md5l('tok')} AS h FROM toks),
+hb AS (SELECT doc_id, h, unnest(range({bits})) AS bit FROM h),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hb GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id"""
+
+
+EMB_DOT = """
+embu AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+"""
+
+
+def sql_ann_cosine(k: int, query_id: int = 0) -> str:
+    return f"""WITH {EMB_DOT},
+q AS (SELECT i, x AS qx FROM embu WHERE vec_id = {query_id}),
+dots AS (
+  SELECT e.vec_id, sum(e.x * q.qx) AS dot, sum(e.x * e.x) AS n2
+  FROM embu e JOIN q USING (i)
+  WHERE e.vec_id <> {query_id}
+  GROUP BY e.vec_id
+),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qnorm FROM q)
+SELECT vec_id,
+       CAST(ROUND(1000000 * dot / (sqrt(n2) * qn.qnorm)) AS BIGINT) AS cos_e6
+FROM dots, qn
+ORDER BY cos_e6 DESC, vec_id LIMIT {k}"""
+
+
+def sql_ann_lsh(k: int, query_id: int = 0, num_planes: int = NUM_PLANES) -> str:
+    return f"""WITH {EMB_DOT},
+planes AS (
+  SELECT CAST(p AS INTEGER) AS p, CAST(i AS INTEGER) AS i,
+         CAST(((p * 37 + i * 11) % 5) - 2 AS DOUBLE) AS c
+  FROM range(8) t(p), range(64) s(i)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.c) AS d
+  FROM embu e JOIN planes pl ON pl.i = e.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN ROUND(d * 1000000) > 0
+             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {query_id}),
+q AS (SELECT i, x AS qx FROM embu WHERE vec_id = {query_id}),
+cand AS (SELECT b.vec_id FROM buckets b, qb
+         WHERE b.bucket = qb.bucket AND b.vec_id <> {query_id}),
+cd AS (
+  SELECT e.vec_id, sum(e.x * q.qx) AS dot, sum(e.x * e.x) AS n2
+  FROM embu e JOIN q USING (i) JOIN cand USING (vec_id)
+  GROUP BY e.vec_id
+),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qnorm FROM q)
+SELECT vec_id,
+       CAST(ROUND(1000000 * dot / (sqrt(n2) * qn.qnorm)) AS BIGINT) AS cos_e6
+FROM cd, qn ORDER BY cos_e6 DESC, vec_id LIMIT {k}"""
+
+
+def sql_token_counts() -> str:
+    return f"""SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id"""
+
+
+_SW_RATIO = f"""(
+  SELECT CASE WHEN count(*) > 0
+         THEN 1.0 * sum(CASE WHEN w IN ({STOP_SQL}) THEN 1 ELSE 0 END) / count(*)
+         ELSE 0.0 END
+  FROM unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS u(w)
+)"""
+
+_NTOK = """(CASE WHEN trim(d.text) = '' THEN 0
+  ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END)"""
+
+_PUNCT_RATIO = f"""(CASE WHEN length(d.text) > 0
+  THEN 1.0 * len(regexp_extract_all(d.text, '{PUNCT_RE}')) / length(d.text)
+  ELSE 0.0 END)"""
+
+
+def sql_quality() -> str:
+    return f"""SELECT d.doc_id,
+  CAST(ROUND(1000000 * (
+    0.4 * least({_NTOK} / 40.0, 1.0)
+    + 0.4 * (1.0 - abs({_SW_RATIO} - 0.4))
+    + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0))
+  )) AS BIGINT) AS quality_e6
+FROM documents d ORDER BY d.doc_id"""
+
+
+def sql_lang_id() -> str:
+    bigrams = ["the ", " of ", " and ", " is ", " a "]
+    hits = " + ".join(
+        f"(CASE WHEN contains(lower(d.text), '{b}') THEN 1 ELSE 0 END)" for b in bigrams
+    )
+    return f"""SELECT d.doc_id,
+  CASE WHEN {_SW_RATIO} >= 0.15 OR ({hits}) >= 2
+       THEN 'en' ELSE 'other' END AS predicted_lang
+FROM documents d ORDER BY d.doc_id"""
+
+
+def sql_fingerprint() -> str:
+    return f"""WITH {TOKS_CTE}
+SELECT doc_id,
+       CAST(sum((pos + 1) * ({_md5l('tok')} % {FP_MOD})) % {FP_MOD} AS BIGINT) AS fp
+FROM toks GROUP BY doc_id ORDER BY doc_id"""
+
+
+def sql_multimodal() -> str:
+    return """SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + octet_length(encode(text)) % 512
+       ELSE octet_length(encode(text)) % 48000 END AS INTEGER) AS fake_width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + (octet_length(encode(text)) * 7) % 512
+       ELSE 1 END AS INTEGER) AS fake_height
+FROM documents ORDER BY doc_id"""
+
+
+def sql_events_window() -> str:
+    return """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(ROUND(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sql_pagerank(iterations: int = 10, damping: float = 0.85) -> str:
+    n = "(SELECT count(*) FROM documents)"
+    ctes = [
+        f"""nodes0 AS (SELECT doc_id AS id FROM documents),
+e0 AS (
+  SELECT id AS src, (id * 7 + 1) % {n} AS dst FROM nodes0
+  UNION ALL SELECT id, (id * 13 + 3) % {n} FROM nodes0
+  UNION ALL SELECT id, 0 FROM nodes0 WHERE id % 5 = 0
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+allnodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 AS pr FROM allnodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT n.node,
+         {1 - damping} + {damping} * coalesce(sum(p.pr / o.od), 0.0) AS pr
+  FROM allnodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN pr{i - 1} p ON p.node = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6
+FROM pr{iterations} ORDER BY node"""
+    )
