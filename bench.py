@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus supplementary keys: ``turns_per_sec`` (index-build throughput on
+the synthetic transcript tier, the north-rule headline metric) and
+``p95_query_sec``.
+
+Usage: ``python bench.py`` (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+PSE_BENCH_TIER to override the transcript tier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    tier = os.environ.get("PSE_BENCH_TIER", "medium")
+
+    from peterman_search_engine_spark.plans.session import get_spark
+    from peterman_search_engine_spark.sources.transcripts import generate_transcripts
+    from peterman_search_engine_spark.sources.adapters import corpus_from_transcripts
+    from peterman_search_engine_spark.operators.indexer import build_index
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("pse-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # --- north-rule headline: turns indexed / sec on the transcript corpus
+    transcripts = generate_transcripts(spark, tier)
+    transcripts = transcripts.localCheckpoint(eager=True)  # exclude generation cost
+    n_turns = transcripts.count()
+
+    def _build():
+        corpus = corpus_from_transcripts(transcripts)
+        idx = build_index(corpus, stem=True, positional=True, docs_per_segment=20_000)
+        # materialize the index end-to-end (postings + stats)
+        idx.postings.write.mode("overwrite").parquet("/tmp/pse_bench_postings")
+        return idx
+
+    timed("index_build", _build)
+    turns_per_sec = round(n_turns / timings["index_build"], 2)
+
+    # --- driver query surface at sf_dir
+    qmap = entry.queries()
+    bench_queries = [
+        "and_search", "or_search", "phrase_search", "bm25_topk", "tfidf_topk",
+        "term_stats", "postings_dump", "dedup_exact", "dedup_minhash",
+        "dedup_lsh_pairs", "dedup_simhash", "ann_cosine_topk", "ann_lsh_topk",
+        "text_token_counts", "text_quality", "text_fingerprint",
+        "events_hourly", "pagerank",
+    ]
+    # index-build for the driver tables happens inside the first query;
+    # time it separately so per-query numbers reflect query cost.
+    timed("driver_index_build", lambda: entry._index(spark, sf_dir))
+    for name in bench_queries:
+        if name not in qmap:
+            continue
+        fn = qmap[name]
+        timed(name, lambda f=fn: f(spark, sf_dir).collect())
+
+    qtimes = sorted(timings[q] for q in bench_queries if q in timings)
+    p95 = qtimes[min(len(qtimes) - 1, int(0.95 * len(qtimes)))] if qtimes else 0.0
+    total = round(sum(timings.values()), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: v for k, v in timings.items()},
+                "sf": sf_dir,
+                "turns_indexed": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "p95_query_sec": p95,
+                "cpus": int(cpus) if cpus.isdigit() else cpus,
+                "transcript_tier": tier,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

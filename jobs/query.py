@@ -1,0 +1,63 @@
+"""spark-submit entrypoint: query a persisted index.
+
+    spark-submit --py-files pse.zip jobs/query.py \
+        --index /tmp/pse_index --mode bm25 --k 10 spark merge
+
+Modes: and, or, phrase, tfidf, bm25, wand (block-max-pruned BM25).
+Prints one JSON line with the result rows and, for wand, the pruning
+stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--mode", default="bm25",
+                    choices=["and", "or", "phrase", "tfidf", "bm25", "wand"])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("terms", nargs="+")
+    args = ap.parse_args()
+
+    from peterman_search_engine_spark.plans.session import get_spark
+    from peterman_search_engine_spark.plans.checkpoint import load_index
+    from peterman_search_engine_spark.operators import query as Q
+    from peterman_search_engine_spark.operators.wand import bm25_topk_wand
+
+    spark = get_spark("pse-query", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = load_index(spark, args.index)
+
+    stats = None
+    if args.mode == "and":
+        df = Q.search_and(idx, args.terms)
+    elif args.mode == "or":
+        df = Q.search_or(idx, args.terms)
+    elif args.mode == "phrase":
+        df = Q.search_phrase(idx, args.terms)
+    elif args.mode == "tfidf":
+        df = Q.search_tfidf(idx, args.terms, args.k)
+    elif args.mode == "bm25":
+        df = Q.search_bm25(idx, args.terms, args.k)
+    else:
+        df, stats = bm25_topk_wand(idx, args.terms, args.k, return_stats=True)
+
+    rows = [r.asDict() for r in df.limit(max(args.k, 100)).collect()]
+    out = {"mode": args.mode, "terms": args.terms, "rows": rows}
+    if stats:
+        out["wand_stats"] = stats
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

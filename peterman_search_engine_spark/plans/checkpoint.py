@@ -1,0 +1,253 @@
+"""Per-partition checkpointed index build with lineage + metrics.
+
+North-rule requirement: "index builds checkpoint per-partition postings
+segments with lineage metadata so interrupted runs resume without
+recomputation, and every stage logs per-partition record counts and
+bytes for auditability."
+
+The reference's analogue is the LSM flush + delete-and-rename commit
+(``InvertedIndexManager.java:209-263, 1062-1131``) — a crash between
+rename steps corrupts its index. Here each checkpoint unit is a
+*segment group* (a contiguous range of doc_id-range segments, one
+Spark job each): the postings parquet for the group is written first,
+and the manifest entry is written only after the parquet write
+returns, so a manifest row implies durable data (write-ahead ordering,
+the same contract as the reference's rename-commit but actually
+atomic at the unit level).
+
+Resume = skip every group whose manifest row exists. Lineage per
+group: segment ids, input doc range, doc/posting-row counts, encoded
+posting bytes, wall seconds — queryable as a DataFrame via
+``metrics_df``.
+
+Layout under ``index_dir``::
+
+    stats.json                         corpus stats (n_docs, avg_len, flags)
+    doc_stats/                         parquet (doc_id, doc_len)
+    postings/group=<g>/                parquet posting rows for the group
+    term_stats/                        parquet, derived after all groups done
+    _manifest/group_<g>.json           lineage row (written last)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.indexer import (
+    DEFAULT_BLOCK_SIZE,
+    InvertedIndex,
+    _make_encode_udf,
+    tokenize_corpus,
+)
+
+
+def _manifest_path(index_dir: str, group: int) -> str:
+    return os.path.join(index_dir, "_manifest", f"group_{group}.json")
+
+
+def _read_manifest(index_dir: str) -> dict[int, dict]:
+    mdir = os.path.join(index_dir, "_manifest")
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in os.listdir(mdir):
+        if name.startswith("group_") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                row = json.load(f)
+            out[int(row["group"])] = row
+    return out
+
+
+def build_index_checkpointed(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    stem: bool = True,
+    positional: bool = True,
+    docs_per_segment: int = 100_000,
+    segments_per_group: int = 8,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> dict:
+    """Build (or resume building) a persisted index at ``index_dir``.
+
+    Returns the build report: {"groups_total", "groups_built",
+    "groups_skipped", "manifest"}. Call :func:`load_index` afterwards.
+
+    The per-group build is the same two-shuffle dataflow as
+    ``indexer.build_index`` restricted to the group's doc_id range —
+    Parquet row-group pruning / partition pruning keeps the rescan of
+    the input cheap, and at cluster scale each group is an independent
+    job whose failure loses only that group.
+    """
+    spark = corpus.sparkSession
+    os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
+
+    stats_path = os.path.join(index_dir, "stats.json")
+    toks = tokenize_corpus(corpus, stem=stem)
+    if not os.path.exists(stats_path):
+        doc_stats = toks.select("doc_id", F.size("tokens").alias("doc_len"))
+        doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
+        doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        row = doc_stats.agg(
+            F.count("*").alias("n"),
+            F.avg("doc_len").alias("avg"),
+            F.max("doc_id").alias("max_id"),
+        ).collect()[0]
+        stats = {
+            "n_docs": int(row["n"]),
+            "avg_len": float(row["avg"] or 0.0),
+            "max_doc_id": int(row["max_id"]),
+            "stem": stem,
+            "positional": positional,
+            "docs_per_segment": docs_per_segment,
+            "segments_per_group": segments_per_group,
+        }
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(stats_path + ".tmp", stats_path)
+    else:
+        with open(stats_path) as f:
+            stats = json.load(f)
+
+    docs_per_group = stats["docs_per_segment"] * stats["segments_per_group"]
+    n_groups = stats["max_doc_id"] // docs_per_group + 1
+    done = _read_manifest(index_dir)
+    built = skipped = 0
+
+    enc_factory = _make_encode_udf(stats["avg_len"], block_size)
+    for g in range(n_groups):
+        if g in done:
+            skipped += 1
+            continue
+        t0 = time.perf_counter()
+        lo, hi = g * docs_per_group, (g + 1) * docs_per_group
+        part = toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        exploded = part.select(
+            "doc_id",
+            F.size("tokens").alias("doc_len"),
+            F.posexplode("tokens").alias("pos", "term"),
+        )
+        seg = (F.col("doc_id") / F.lit(stats["docs_per_segment"])).cast("long").alias(
+            "segment"
+        )
+        td = exploded.groupBy(seg, "term", "doc_id").agg(
+            F.count("*").cast("int").alias("tf"),
+            F.first("doc_len").alias("doc_len"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        plist = F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf", "positions", "doc_len"))
+        ).alias("plist")
+        sp = td.groupBy("segment", "term").agg(
+            F.count("*").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            plist,
+        )
+        cols = [
+            "segment", "term", "df", "cf",
+            F.col("plist.doc_id").alias("doc_ids"),
+            F.col("plist.tf").alias("tfs"),
+        ]
+        if positional:
+            cols.append(F.col("plist.positions").alias("positions"))
+        cols.append(F.col("plist.doc_len").alias("_doc_lens"))
+        sp = sp.select(*cols)
+        enc = enc_factory(F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens"))
+        sp = (
+            sp.withColumn("_enc", enc)
+            .withColumn("blob", F.col("_enc.blob"))
+            .withColumn("block_starts", F.col("_enc.block_starts"))
+            .withColumn("block_ubs", F.col("_enc.block_ubs"))
+            .drop("_enc", "_doc_lens")
+        )
+        gdir = os.path.join(index_dir, "postings", f"group={g}")
+        sp.write.mode("overwrite").parquet(gdir)
+        # audit metrics from the durable output (not the plan)
+        written = spark.read.parquet(gdir)
+        agg = written.agg(
+            F.count("*").alias("rows"),
+            F.sum("df").alias("entries"),
+            F.sum(F.length("blob")).alias("blob_bytes"),
+        ).collect()[0]
+        fsize = sum(
+            os.path.getsize(os.path.join(gdir, f))
+            for f in os.listdir(gdir)
+            if f.endswith(".parquet")
+        )
+        row = {
+            "group": g,
+            "segments": list(
+                range(lo // stats["docs_per_segment"], hi // stats["docs_per_segment"])
+            ),
+            "doc_id_lo": lo,
+            "doc_id_hi": hi,
+            "posting_rows": int(agg["rows"]),
+            "posting_entries": int(agg["entries"] or 0),
+            "blob_bytes": int(agg["blob_bytes"] or 0),
+            "parquet_bytes": fsize,
+            "wall_sec": round(time.perf_counter() - t0, 4),
+        }
+        tmp = _manifest_path(index_dir, g) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(row, f)
+        os.replace(tmp, _manifest_path(index_dir, g))  # commit point
+        built += 1
+
+    # term_stats: derived once after all groups exist (cheap: input is
+    # (segment, term) rows). Rewritten on any new group.
+    if built > 0 or not os.path.isdir(os.path.join(index_dir, "term_stats")):
+        allp = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
+            os.path.join(index_dir, "postings")
+        )
+        allp.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+
+    return {
+        "groups_total": n_groups,
+        "groups_built": built,
+        "groups_skipped": skipped,
+        "manifest": _read_manifest(index_dir),
+    }
+
+
+def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    """Open a persisted index. Postings come back as a plain parquet
+    scan, so query-side term filters push down to the scan."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    postings = spark.read.option(
+        "basePath", os.path.join(index_dir, "postings")
+    ).parquet(os.path.join(index_dir, "postings")).drop("group")
+    return InvertedIndex(
+        postings=postings,
+        term_stats=spark.read.parquet(os.path.join(index_dir, "term_stats")),
+        doc_stats=spark.read.parquet(os.path.join(index_dir, "doc_stats")),
+        n_docs=stats["n_docs"],
+        avg_len=stats["avg_len"],
+        positional=stats["positional"],
+        stem=stats["stem"],
+    )
+
+
+def metrics_df(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The lineage manifest as a DataFrame — per checkpoint group:
+    record counts, bytes, wall seconds (auditability surface)."""
+    rows = list(_read_manifest(index_dir).values())
+    return spark.createDataFrame(
+        [
+            (
+                r["group"], r["doc_id_lo"], r["doc_id_hi"], r["posting_rows"],
+                r["posting_entries"], r["blob_bytes"], r["parquet_bytes"],
+                r["wall_sec"],
+            )
+            for r in sorted(rows, key=lambda x: x["group"])
+        ],
+        "group long, doc_id_lo long, doc_id_hi long, posting_rows long, "
+        "posting_entries long, blob_bytes long, parquet_bytes long, wall_sec double",
+    )

@@ -1,0 +1,168 @@
+"""Block-max WAND exactness + checkpointed build resume/lineage."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from peterman_search_engine_spark.operators.indexer import build_index
+from peterman_search_engine_spark.operators.wand import (
+    bm25_topk_exhaustive,
+    bm25_topk_wand,
+)
+from peterman_search_engine_spark.plans.checkpoint import (
+    build_index_checkpointed,
+    load_index,
+    metrics_df,
+)
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    from peterman_search_engine_spark.sources.adapters import corpus_from_transcripts
+    from peterman_search_engine_spark.sources.transcripts import generate_transcripts
+
+    return corpus_from_transcripts(
+        generate_transcripts(spark, "small")
+    ).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def small_index(small_corpus):
+    idx = build_index(
+        small_corpus, stem=False, positional=False,
+        docs_per_segment=200, block_size=16,
+    )
+    idx.postings = idx.postings.localCheckpoint(eager=True)
+    idx.doc_stats = idx.doc_stats.localCheckpoint(eager=True)
+    idx.term_stats = idx.term_stats.localCheckpoint(eager=True)
+    return idx
+
+
+QUERIES = [
+    ["spark", "merge"],
+    ["index", "query", "vector"],
+    ["stem"],
+    ["spark", "spark", "shuffle"],  # duplicate query term
+    ["latency", "throughput", "cluster", "executor"],
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES)
+def test_wand_rank_identical(small_index, terms):
+    k = 10
+    base = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_exhaustive(small_index, terms, k).collect()
+    ]
+    got_df, stats = bm25_topk_wand(
+        small_index, terms, k, block_size=16, return_stats=True
+    )
+    got = [(r["doc_id"], round(r["score"], 9)) for r in got_df.collect()]
+    assert got == base
+    assert stats["theta"] >= 0.0
+
+
+def test_wand_prunes_blocks(small_index):
+    _, stats = bm25_topk_wand(
+        small_index, ["spark", "merge"], 5, block_size=16, return_stats=True
+    )
+    # with a selective query and theta>0 some non-seed blocks must die
+    assert stats["blocks_total_nonseed"] > 0
+    assert stats["blocks_decoded"] <= stats["blocks_total_nonseed"]
+
+
+def test_wand_unknown_terms(small_index, spark):
+    df = bm25_topk_wand(small_index, ["zzzznotaterm"], 5)
+    assert df.count() == 0
+
+
+def test_checkpoint_build_resume(spark, small_corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    rep1 = build_index_checkpointed(
+        small_corpus, d, stem=False, positional=True,
+        docs_per_segment=200, segments_per_group=2,
+    )
+    assert rep1["groups_built"] == rep1["groups_total"] > 1
+    assert rep1["groups_skipped"] == 0
+
+    # simulate an interrupted run: delete one group's manifest + data
+    victim = 1
+    os.remove(os.path.join(d, "_manifest", f"group_{victim}.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "postings", f"group={victim}"))
+
+    mtimes_before = {
+        g: os.path.getmtime(os.path.join(d, "_manifest", f"group_{g}.json"))
+        for g in range(rep1["groups_total"])
+        if g != victim
+    }
+    rep2 = build_index_checkpointed(
+        small_corpus, d, stem=False, positional=True,
+        docs_per_segment=200, segments_per_group=2,
+    )
+    assert rep2["groups_built"] == 1  # ONLY the victim recomputed
+    assert rep2["groups_skipped"] == rep1["groups_total"] - 1
+    for g, mt in mtimes_before.items():
+        assert os.path.getmtime(
+            os.path.join(d, "_manifest", f"group_{g}.json")
+        ) == mt  # untouched
+
+    # loaded index answers identically to an in-memory build
+    idx_disk = load_index(spark, d)
+    idx_mem = build_index(
+        small_corpus, stem=False, positional=True, docs_per_segment=200
+    )
+    from peterman_search_engine_spark.operators.query import search_bm25
+
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in search_bm25(idx_disk, ["spark", "merge"], 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9))
+         for r in search_bm25(idx_mem, ["spark", "merge"], 10).collect()]
+    assert a == b
+
+
+def test_checkpoint_lineage_metrics(spark, small_corpus, tmp_path):
+    d = str(tmp_path / "idx2")
+    build_index_checkpointed(
+        small_corpus, d, stem=False, positional=False,
+        docs_per_segment=500, segments_per_group=2,
+    )
+    m = metrics_df(spark, d)
+    rows = m.collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["posting_rows"] > 0
+        assert r["blob_bytes"] > 0
+        assert r["parquet_bytes"] > 0
+        assert r["wall_sec"] > 0
+    # lineage doc ranges tile the corpus
+    n_docs = small_corpus.count()
+    assert max(r["doc_id_hi"] for r in rows) >= n_docs
+    # audit invariant: sum of per-group posting entries == total
+    # (term, doc) pairs in the corpus
+    total_entries = sum(r["posting_entries"] for r in rows)
+    from peterman_search_engine_spark.operators.indexer import tokenize_corpus
+
+    expected = (
+        tokenize_corpus(small_corpus, stem=False)
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .select("doc_id", "t")
+        .distinct()
+        .count()
+    )
+    assert total_entries == expected
+
+
+def test_stats_json_written(spark, small_corpus, tmp_path):
+    d = str(tmp_path / "idx3")
+    build_index_checkpointed(
+        small_corpus, d, stem=False, positional=False,
+        docs_per_segment=500, segments_per_group=4,
+    )
+    with open(os.path.join(d, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == small_corpus.count()
+    assert stats["avg_len"] > 0
