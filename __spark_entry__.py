@@ -27,7 +27,8 @@ from peterman_search_engine_spark.functions.analysis import tokens_expr
 from peterman_search_engine_spark.operators import dedup as DD
 from peterman_search_engine_spark.operators import query as Q
 from peterman_search_engine_spark.operators import similarity as SIM
-from peterman_search_engine_spark.operators.indexer import build_index
+from peterman_search_engine_spark.operators.indexer import build_index, merge_segments
+from peterman_search_engine_spark.operators.wand import bm25_topk_wand
 from peterman_search_engine_spark.operators.multimodal import (
     attach_fake_media,
     extract_features,
@@ -108,6 +109,31 @@ def q_bm25(spark, sf):
 def q_tfidf(spark, sf):
     idx = _index(spark, sf)
     return _ranked_e6(Q.tfidf_scores(idx, TFIDF_TERMS), TOP_K)
+
+
+def q_bm25_wand(spark, sf):
+    """Block-max WAND pruned BM25 — must equal the exhaustive plan
+    (same oracle SQL as bm25_topk)."""
+    idx = _index(spark, sf)
+    scored = bm25_topk_wand(idx, BM25_TERMS, TOP_K * 3)
+    return _ranked_e6(scored, TOP_K)
+
+
+def q_merged_postings(spark, sf):
+    """Postings dump after merging all segments into one (B3/B4) —
+    merge must preserve posting content, so the oracle is the same as
+    postings_dump."""
+    idx = _index(spark, sf)
+    merged = merge_segments(idx, factor=10**6)
+    p = merged.postings.filter(F.col("term").isin(POSTING_TERMS))
+    return p.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "tfs", "positions")).alias("z")
+    ).select(
+        "term",
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.tfs").cast("long").alias("tf"),
+        F.element_at(F.col("z.positions"), 1).cast("long").alias("first_pos"),
+    )
 
 
 def q_term_stats(spark, sf):
@@ -288,8 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_search": q_or,
         "phrase_search": q_phrase,
         "bm25_topk": q_bm25,
+        "bm25_wand_topk": q_bm25_wand,
         "tfidf_topk": q_tfidf,
         "term_stats": q_term_stats,
+        "merged_postings": q_merged_postings,
         "doc_stats": q_doc_stats,
         "postings_dump": q_postings,
         "posting_compression": q_compressed_size,
@@ -316,8 +344,10 @@ def oracle_sql() -> dict[str, str]:
         "or_search": S.sql_or(OR_TERMS),
         "phrase_search": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
+        "bm25_wand_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         "tfidf_topk": S.sql_tfidf(TFIDF_TERMS, TOP_K),
         "term_stats": S.sql_term_stats(50),
+        "merged_postings": S.sql_postings(POSTING_TERMS),
         "doc_stats": S.sql_doc_stats(),
         "postings_dump": S.sql_postings(POSTING_TERMS),
         "posting_compression": S.sql_compressed_size(50),

@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,6 +35,12 @@ def main() -> None:
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--no-positional", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--one-shot", action="store_true",
+        help="single-job build (no checkpoint groups) — used for "
+        "throughput/scaling measurement where the driver-side group "
+        "loop would serialize jobs",
+    )
     args = ap.parse_args()
 
     from peterman_search_engine_spark.plans.session import get_spark
@@ -63,25 +70,54 @@ def main() -> None:
         else:
             corpus = corpus_from_transcripts(df)
 
-    report = build_index_checkpointed(
-        corpus,
-        args.output,
-        stem=not args.no_stem,
-        positional=not args.no_positional,
-        docs_per_segment=args.docs_per_segment,
-        segments_per_group=args.segments_per_group,
-    )
-    lineage = [r.asDict() for r in metrics_df(spark, args.output).collect()]
-    print(
-        json.dumps(
-            {
-                "groups_total": report["groups_total"],
-                "groups_built": report["groups_built"],
-                "groups_skipped": report["groups_skipped"],
-                "lineage": lineage,
-            }
+    corpus = corpus.localCheckpoint(eager=True)  # exclude input prep from build wall
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    if args.one_shot:
+        from peterman_search_engine_spark.operators.indexer import build_index
+
+        idx = build_index(
+            corpus,
+            stem=not args.no_stem,
+            positional=not args.no_positional,
+            docs_per_segment=args.docs_per_segment,
         )
+        idx.postings.write.mode("overwrite").parquet(
+            os.path.join(args.output, "postings")
+        )
+        idx.term_stats.write.mode("overwrite").parquet(
+            os.path.join(args.output, "term_stats")
+        )
+        idx.doc_stats.write.mode("overwrite").parquet(
+            os.path.join(args.output, "doc_stats")
+        )
+        wall = time.perf_counter() - t0
+        out = {"mode": "one-shot"}
+    else:
+        report = build_index_checkpointed(
+            corpus,
+            args.output,
+            stem=not args.no_stem,
+            positional=not args.no_positional,
+            docs_per_segment=args.docs_per_segment,
+            segments_per_group=args.segments_per_group,
+        )
+        wall = time.perf_counter() - t0
+        out = {
+            "mode": "checkpointed",
+            "groups_total": report["groups_total"],
+            "groups_built": report["groups_built"],
+            "groups_skipped": report["groups_skipped"],
+            "lineage": [r.asDict() for r in metrics_df(spark, args.output).collect()],
+        }
+    out.update(
+        {
+            "n_docs": n_docs,
+            "build_wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 2),
+        }
     )
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -141,16 +141,21 @@ def tokenize_corpus(corpus: DataFrame, *, stem: bool = True) -> DataFrame:
     return corpus.select("doc_id", tok.alias("tokens"))
 
 
-def build_index(
-    corpus: DataFrame,
+def postings_from_tokens(
+    toks: DataFrame,
     *,
-    stem: bool = True,
+    avg_len: float,
     positional: bool = True,
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     block_size: int = DEFAULT_BLOCK_SIZE,
-) -> InvertedIndex:
-    """B1+B2: the full batch index build. corpus = (doc_id, text)."""
-    toks = tokenize_corpus(corpus, stem=stem)
+) -> DataFrame:
+    """The core two-shuffle posting-construction dataflow, shared by
+    the batch build, the checkpointed/grouped build, and streaming
+    incremental ingest. toks = (doc_id, tokens array<string>).
+
+    Returns (segment, term, df, cf, doc_ids, tfs, [positions], blob,
+    block_starts, block_ubs).
+    """
     # (doc_id, doc_len, pos, term); positions are post-stop-filter
     # indexes (IIM:173-184) because the analyzer already filtered.
     exploded = toks.select(
@@ -166,15 +171,6 @@ def build_index(
         F.first("doc_len").alias("doc_len"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-
-    # doc stats + corpus stats (separate cheap agg over tokens).
-    doc_stats = toks.select(
-        "doc_id", F.size("tokens").alias("doc_len")
-    )
-    row = doc_stats.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avg")
-    ).collect()[0]
-    n_docs, avg_len = int(row["n"]), float(row["avg"] or 0.0)
 
     # shuffle 2: per (segment, term) sorted posting list. sort_array on
     # struct sorts by the first field (doc_id) — reference invariant
@@ -203,12 +199,41 @@ def build_index(
     enc = _make_encode_udf(avg_len, block_size)(
         F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")
     )
-    seg_postings = (
+    return (
         seg_postings.withColumn("_enc", enc)
         .withColumn("blob", F.col("_enc.blob"))
         .withColumn("block_starts", F.col("_enc.block_starts"))
         .withColumn("block_ubs", F.col("_enc.block_ubs"))
         .drop("_enc", "_doc_lens")
+    )
+
+
+def build_index(
+    corpus: DataFrame,
+    *,
+    stem: bool = True,
+    positional: bool = True,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> InvertedIndex:
+    """B1+B2: the full batch index build. corpus = (doc_id, text)."""
+    toks = tokenize_corpus(corpus, stem=stem)
+
+    # doc stats + corpus stats (separate cheap agg over tokens).
+    doc_stats = toks.select(
+        "doc_id", F.size("tokens").alias("doc_len")
+    )
+    row = doc_stats.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    n_docs, avg_len = int(row["n"]), float(row["avg"] or 0.0)
+
+    seg_postings = postings_from_tokens(
+        toks,
+        avg_len=avg_len,
+        positional=positional,
+        docs_per_segment=docs_per_segment,
+        block_size=block_size,
     )
 
     # Global term stats: input is one row per (segment, term) — already

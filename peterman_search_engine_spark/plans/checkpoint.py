@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..operators.indexer import (
     DEFAULT_BLOCK_SIZE,
     InvertedIndex,
-    _make_encode_udf,
+    postings_from_tokens,
     tokenize_corpus,
 )
 
@@ -119,7 +119,6 @@ def build_index_checkpointed(
     done = _read_manifest(index_dir)
     built = skipped = 0
 
-    enc_factory = _make_encode_udf(stats["avg_len"], block_size)
     for g in range(n_groups):
         if g in done:
             skipped += 1
@@ -127,43 +126,12 @@ def build_index_checkpointed(
         t0 = time.perf_counter()
         lo, hi = g * docs_per_group, (g + 1) * docs_per_group
         part = toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        exploded = part.select(
-            "doc_id",
-            F.size("tokens").alias("doc_len"),
-            F.posexplode("tokens").alias("pos", "term"),
-        )
-        seg = (F.col("doc_id") / F.lit(stats["docs_per_segment"])).cast("long").alias(
-            "segment"
-        )
-        td = exploded.groupBy(seg, "term", "doc_id").agg(
-            F.count("*").cast("int").alias("tf"),
-            F.first("doc_len").alias("doc_len"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-        plist = F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf", "positions", "doc_len"))
-        ).alias("plist")
-        sp = td.groupBy("segment", "term").agg(
-            F.count("*").alias("df"),
-            F.sum("tf").cast("long").alias("cf"),
-            plist,
-        )
-        cols = [
-            "segment", "term", "df", "cf",
-            F.col("plist.doc_id").alias("doc_ids"),
-            F.col("plist.tf").alias("tfs"),
-        ]
-        if positional:
-            cols.append(F.col("plist.positions").alias("positions"))
-        cols.append(F.col("plist.doc_len").alias("_doc_lens"))
-        sp = sp.select(*cols)
-        enc = enc_factory(F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens"))
-        sp = (
-            sp.withColumn("_enc", enc)
-            .withColumn("blob", F.col("_enc.blob"))
-            .withColumn("block_starts", F.col("_enc.block_starts"))
-            .withColumn("block_ubs", F.col("_enc.block_ubs"))
-            .drop("_enc", "_doc_lens")
+        sp = postings_from_tokens(
+            part,
+            avg_len=stats["avg_len"],
+            positional=positional,
+            docs_per_segment=stats["docs_per_segment"],
+            block_size=block_size,
         )
         gdir = os.path.join(index_dir, "postings", f"group={g}")
         sp.write.mode("overwrite").parquet(gdir)
