@@ -294,6 +294,21 @@ def q_events_window(spark, sf):
     )
 
 
+PR_WEIGHT = 0.5
+
+
+def q_combined_rank(spark, sf):
+    """Q16: TF-IDF over all matches + PR_WEIGHT x PageRank, top-k."""
+    from peterman_search_engine_spark.operators.pagerank import combined_search
+
+    idx = _index(spark, sf)
+    scored = Q.tfidf_scores(idx, TFIDF_TERMS)
+    n = _docs(spark, sf).count()
+    ranks = pagerank(generate_edges(spark, n), PR_ITERS)
+    comb = combined_search(scored, ranks, pr_weight=PR_WEIGHT, top_k=None)
+    return _ranked_e6(comb, TOP_K)
+
+
 def q_pagerank(spark, sf):
     n = _docs(spark, sf).count()
     edges = generate_edges(spark, n)
@@ -335,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "events_hourly": q_events_window,
         "pagerank": q_pagerank,
+        "combined_rank": q_combined_rank,
     }
 
 
@@ -365,4 +381,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": S.sql_multimodal(),
         "events_hourly": S.sql_events_window(),
         "pagerank": S.sql_pagerank(PR_ITERS),
+        "combined_rank": S.sql_combined_rank(TFIDF_TERMS, TOP_K, PR_ITERS, PR_WEIGHT),
     }

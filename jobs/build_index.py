@@ -76,6 +76,8 @@ def main() -> None:
     if args.one_shot:
         from peterman_search_engine_spark.operators.indexer import build_index
 
+        from pyspark.sql import functions as F
+
         idx = build_index(
             corpus,
             stem=not args.no_stem,
@@ -85,9 +87,14 @@ def main() -> None:
         idx.postings.write.mode("overwrite").parquet(
             os.path.join(args.output, "postings")
         )
-        idx.term_stats.write.mode("overwrite").parquet(
-            os.path.join(args.output, "term_stats")
-        )
+        # derive term_stats from the WRITTEN postings (metadata-sized
+        # agg over (segment, term) rows) instead of re-running the
+        # whole posting pipeline for a second action
+        spark.read.parquet(os.path.join(args.output, "postings")).groupBy(
+            "term"
+        ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.output, "term_stats"))
         idx.doc_stats.write.mode("overwrite").parquet(
             os.path.join(args.output, "doc_stats")
         )

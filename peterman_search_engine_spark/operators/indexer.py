@@ -43,7 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, LongType, StructField, StructType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from ..functions.analysis import analyze_udf, tokens_expr
@@ -141,6 +142,28 @@ def tokenize_corpus(corpus: DataFrame, *, stem: bool = True) -> DataFrame:
     return corpus.select("doc_id", tok.alias("tokens"))
 
 
+DEFAULT_TERM_BUCKETS = 32
+
+
+def _posting_schema(positional: bool) -> StructType:
+    fields = [
+        StructField("segment", LongType()),
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("tfs", ArrayType(IntegerType())),
+    ]
+    if positional:
+        fields.append(StructField("positions", ArrayType(ArrayType(IntegerType()))))
+    fields += [
+        StructField("blob", BinaryType()),
+        StructField("block_starts", ArrayType(LongType())),
+        StructField("block_ubs", ArrayType(DoubleType())),
+    ]
+    return StructType(fields)
+
+
 def postings_from_tokens(
     toks: DataFrame,
     *,
@@ -148,14 +171,199 @@ def postings_from_tokens(
     positional: bool = True,
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
 ) -> DataFrame:
-    """The core two-shuffle posting-construction dataflow, shared by
-    the batch build, the checkpointed/grouped build, and streaming
-    incremental ingest. toks = (doc_id, tokens array<string>).
+    """Posting construction: ONE shuffle on (segment, term-bucket)
+    followed by an Arrow ``applyInPandas`` that builds every posting
+    list of the group in numpy. toks = (doc_id, tokens array<string>).
+
+    Why not groupBy+collect_list? Profiled on 600k turns: the
+    collect_list-of-structs aggregation is allocation-bound inside the
+    shared JVM heap and gets SLOWER from local[8] to local[32] (GC
+    contention); the applyInPandas form moves the assembly into
+    independent Python worker processes (no shared heap, no GIL
+    sharing) and scales with cores. The shuffle key (segment,
+    pmod(hash(term), term_buckets)) gives segments × buckets uniform
+    groups — the segment id caps posting length (doc_id-range split)
+    and the term bucket caps group width, so a stop-word-grade term at
+    10^12 turns still never lands on one reducer.
 
     Returns (segment, term, df, cf, doc_ids, tfs, [positions], blob,
-    block_starts, block_ubs).
+    block_starts, block_ubs); doc_ids/positions are sorted (reference
+    invariant, ``InvertedIndexManager.java:228-244``).
     """
+    exploded = toks.select(
+        "doc_id",
+        F.size("tokens").alias("doc_len"),
+        F.posexplode("tokens").alias("pos", "term"),
+    ).withColumn(
+        "segment", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
+    ).withColumn(
+        "tb", F.pmod(F.hash("term"), F.lit(term_buckets))
+    )
+
+    schema = _posting_schema(positional)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        seg = int(pdf["segment"].iloc[0])
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        poss = pdf["pos"].to_numpy(dtype=np.int32)
+        dlens = pdf["doc_len"].to_numpy(dtype=np.float64)
+        tcodes, tinv = np.unique(terms, return_inverse=True)
+        order = np.lexsort((poss, docs, tinv))
+        tinv, docs, poss, dlens = tinv[order], docs[order], poss[order], dlens[order]
+        # (term, doc) run boundaries
+        pair_change = np.empty(len(docs), dtype=bool)
+        pair_change[0] = True
+        pair_change[1:] = (tinv[1:] != tinv[:-1]) | (docs[1:] != docs[:-1])
+        pstart = np.flatnonzero(pair_change)
+        pend = np.append(pstart[1:], len(docs))
+        p_t = tinv[pstart]           # term code per (term,doc) pair
+        p_doc = docs[pstart]
+        p_tf = (pend - pstart).astype(np.int32)
+        p_dlen = dlens[pstart]
+        # term run boundaries over the pair arrays
+        t_change = np.empty(len(p_t), dtype=bool)
+        t_change[0] = True
+        t_change[1:] = p_t[1:] != p_t[:-1]
+        tstart = np.flatnonzero(t_change)
+        tend = np.append(tstart[1:], len(p_t))
+
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for s, e in zip(tstart, tend):
+            ids = p_doc[s:e]
+            tfs = p_tf[s:e]
+            part = _bm25_tf_part(tfs.astype(np.float64), p_dlen[s:e], avg_len)
+            starts, ubs = [], []
+            for bs, be in block_offsets(len(ids), block_size):
+                starts.append(int(ids[bs]))
+                ubs.append(float(part[bs:be].max()))
+            out["segment"].append(seg)
+            out["term"].append(tcodes[p_t[s]])
+            out["df"].append(int(e - s))
+            out["cf"].append(int(tfs.sum()))
+            out["doc_ids"].append(ids)
+            out["tfs"].append(tfs)
+            if positional:
+                # positions of the term's rows, split at pair bounds
+                row_s, row_e = pstart[s], pend[e - 1]
+                bounds = pstart[s + 1:e] - row_s
+                out["positions"].append(
+                    np.split(poss[row_s:row_e], bounds)
+                )
+            out["blob"].append(delta_varint_encode(ids))
+            out["block_starts"].append(starts)
+            out["block_ubs"].append(ubs)
+        return pd.DataFrame(out)
+
+    return exploded.groupBy("segment", "tb").applyInPandas(_build, schema)
+
+
+def postings_from_corpus(
+    corpus: DataFrame,
+    *,
+    avg_len: float,
+    stem: bool = True,
+    positional: bool = True,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> DataFrame:
+    """Fully-fused posting construction: shuffle RAW (doc_id, text)
+    rows by segment, then ONE applyInPandas per segment does
+    tokenize + stop-filter + stem + posting assembly + varint encode
+    in a single Python pass.
+
+    vs ``postings_from_tokens``: the shuffle moves |docs| compact text
+    rows instead of |tokens| exploded rows (~15× fewer at transcript
+    lengths), and the tokens never round-trip through Arrow at all.
+    Group memory is bounded by docs_per_segment × avg doc bytes —
+    docs_per_segment is the knob (semantic segment granularity AND
+    the task-size cap). Output contract identical to
+    ``postings_from_tokens``.
+    """
+    from ..functions.analysis import _analyze_py
+
+    part = corpus.withColumn(
+        "segment", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
+    )
+    schema = _posting_schema(positional)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        seg = int(pdf["segment"].iloc[0])
+        toks_list = [_analyze_py(t or "", stem) for t in pdf["text"]]
+        counts = np.fromiter((len(t) for t in toks_list), np.int64, len(toks_list))
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+        dlens = np.repeat(counts.astype(np.float64), counts)
+        # per-doc position = global index minus the doc's start offset
+        starts_rep = np.repeat(np.cumsum(counts) - counts, counts)
+        poss = (np.arange(total) - starts_rep).astype(np.int32)
+        terms = np.array(
+            [tok for toks in toks_list for tok in toks], dtype=object
+        )
+        tcodes, tinv = np.unique(terms, return_inverse=True)
+        order = np.lexsort((poss, docs, tinv))
+        tinv, docs, poss, dlens = tinv[order], docs[order], poss[order], dlens[order]
+        pair_change = np.empty(total, dtype=bool)
+        pair_change[0] = True
+        pair_change[1:] = (tinv[1:] != tinv[:-1]) | (docs[1:] != docs[:-1])
+        pstart = np.flatnonzero(pair_change)
+        pend = np.append(pstart[1:], total)
+        p_t = tinv[pstart]
+        p_doc = docs[pstart]
+        p_tf = (pend - pstart).astype(np.int32)
+        p_dlen = dlens[pstart]
+        t_change = np.empty(len(p_t), dtype=bool)
+        t_change[0] = True
+        t_change[1:] = p_t[1:] != p_t[:-1]
+        tstart = np.flatnonzero(t_change)
+        tend = np.append(tstart[1:], len(p_t))
+
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for s, e in zip(tstart, tend):
+            ids = p_doc[s:e]
+            tfs = p_tf[s:e]
+            bm = _bm25_tf_part(tfs.astype(np.float64), p_dlen[s:e], avg_len)
+            bstarts, ubs = [], []
+            for bs, be in block_offsets(len(ids), block_size):
+                bstarts.append(int(ids[bs]))
+                ubs.append(float(bm[bs:be].max()))
+            out["segment"].append(seg)
+            out["term"].append(tcodes[p_t[s]])
+            out["df"].append(int(e - s))
+            out["cf"].append(int(tfs.sum()))
+            out["doc_ids"].append(ids)
+            out["tfs"].append(tfs)
+            if positional:
+                row_s, row_e = pstart[s], pend[e - 1]
+                bounds = pstart[s + 1:e] - row_s
+                out["positions"].append(np.split(poss[row_s:row_e], bounds))
+            out["blob"].append(delta_varint_encode(ids))
+            out["block_starts"].append(bstarts)
+            out["block_ubs"].append(ubs)
+        return pd.DataFrame(out)
+
+    return part.groupBy("segment").applyInPandas(_build, schema)
+
+
+def postings_from_tokens_agg(
+    toks: DataFrame,
+    *,
+    avg_len: float,
+    positional: bool = True,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> DataFrame:
+    """The declarative two-shuffle (groupBy + collect_list) form of
+    posting construction — kept for plan comparison and as a fallback
+    where applyInPandas is undesirable. Identical output contract."""
     # (doc_id, doc_len, pos, term); positions are post-stop-filter
     # indexes (IIM:173-184) because the analyzer already filtered.
     exploded = toks.select(
@@ -216,21 +424,26 @@ def build_index(
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     block_size: int = DEFAULT_BLOCK_SIZE,
 ) -> InvertedIndex:
-    """B1+B2: the full batch index build. corpus = (doc_id, text)."""
-    toks = tokenize_corpus(corpus, stem=stem)
+    """B1+B2: the full batch index build. corpus = (doc_id, text).
 
-    # doc stats + corpus stats (separate cheap agg over tokens).
-    doc_stats = toks.select(
-        "doc_id", F.size("tokens").alias("doc_len")
+    Pass 1 (stats): doc_len per doc via the PURE-JVM tokenizer
+    expression — stemming never changes token counts, so the count of
+    the A1-filtered list equals the analyzed length; zero Python,
+    whole-stage codegen. Pass 2 (postings): the fused per-segment
+    applyInPandas (``postings_from_corpus``).
+    """
+    doc_stats = corpus.select(
+        "doc_id", F.size(tokens_expr("text")).alias("doc_len")
     )
     row = doc_stats.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avg")
     ).collect()[0]
     n_docs, avg_len = int(row["n"]), float(row["avg"] or 0.0)
 
-    seg_postings = postings_from_tokens(
-        toks,
+    seg_postings = postings_from_corpus(
+        corpus,
         avg_len=avg_len,
+        stem=stem,
         positional=positional,
         docs_per_segment=docs_per_segment,
         block_size=block_size,

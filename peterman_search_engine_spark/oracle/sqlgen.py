@@ -373,7 +373,7 @@ def sql_events_window() -> str:
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
-def sql_pagerank(iterations: int = 10, damping: float = 0.85) -> str:
+def _pagerank_ctes(iterations: int, damping: float) -> str:
     n = "(SELECT count(*) FROM documents)"
     ctes = [
         f"""nodes0 AS (SELECT doc_id AS id FROM documents),
@@ -399,9 +399,45 @@ pr0 AS (SELECT node, 1.0 AS pr FROM allnodes)"""
   LEFT JOIN outdeg o ON o.src = e.src
   GROUP BY n.node)"""
         )
+    return ",\n".join(ctes)
+
+
+def sql_combined_rank(
+    terms: list[str], k: int, iterations: int, weight: float,
+    damping: float = 0.85,
+) -> str:
+    """Q16 combined ranking (IcsSearchEngine.java:138-164): TF-IDF
+    over ALL matches + weight × PageRank, top-k on the rounded value."""
+    return f"""WITH {TOKS_CTE},
+q(term, qtf) AS (VALUES {_qtf_values(terms)}),
+n AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+parts AS (
+  SELECT tf.doc_id,
+         (tf.tf * log10(n.n / dfx.df)) * (q.qtf * log10(n.n / dfx.df)) AS dot,
+         (tf.tf * log10(n.n / dfx.df)) * (tf.tf * log10(n.n / dfx.df)) AS len2
+  FROM tf JOIN q ON tf.tok = q.term JOIN dfx ON dfx.tok = tf.tok, n
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN sum(len2) > 0 THEN sum(dot) / sqrt(sum(len2)) ELSE 0.0 END AS score
+  FROM parts GROUP BY doc_id
+),
+{_pagerank_ctes(iterations, damping)},
+comb AS (
+  SELECT s.doc_id,
+         s.score + {weight} * coalesce(p.pr, 0.0) AS score
+  FROM scored s LEFT JOIN pr{iterations} p ON p.node = s.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM comb ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
+def sql_pagerank(iterations: int = 10, damping: float = 0.85) -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _pagerank_ctes(iterations, damping)
         + f"""
 SELECT node, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6
 FROM pr{iterations} ORDER BY node"""

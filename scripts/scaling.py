@@ -27,15 +27,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def prepare_input(tier: str, path: str) -> None:
+def prepare_input(tier: str, path: str, replicate: int = 1) -> None:
     from peterman_search_engine_spark.plans.session import get_spark
     from peterman_search_engine_spark.sources.transcripts import generate_transcripts
 
     spark = get_spark("pse-scaling-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    generate_transcripts(spark, tier, num_partitions=64).write.mode(
-        "overwrite"
-    ).parquet(path)
+    df = generate_transcripts(spark, tier, num_partitions=64)
+    if replicate > 1:
+        # distributed deterministic scale-up: N copies with remapped
+        # conv_ids (driver-side generation of >10^6 rows would be the
+        # bottleneck otherwise)
+        from pyspark.sql import functions as F
+
+        rep = spark.range(replicate).select(F.col("id").cast("string").alias("_r"))
+        df = (
+            df.crossJoin(rep)
+            .withColumn("conv_id", F.concat_ws("r", "conv_id", "_r"))
+            .drop("_r")
+            .repartition(128)
+        )
+    df.write.mode("overwrite").parquet(path)
     spark.stop()
 
 
@@ -64,6 +76,8 @@ def run_build(zip_path: str, input_path: str, cores: int, out_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", default="bench")
+    ap.add_argument("--replicate", type=int, default=10,
+                    help="distributed input scale-up factor")
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
@@ -76,7 +90,7 @@ def main() -> None:
          "-x", "*__pycache__*"],
         cwd=REPO, check=True,
     )
-    prepare_input(args.tier, input_path)
+    prepare_input(args.tier, input_path, args.replicate)
 
     results: dict[int, dict] = {}
     for cores in (8, 32):
@@ -126,7 +140,7 @@ def main() -> None:
             f"{summary['scaling_efficiency_8_to_32']}** "
             f"(target >= 0.8)\n\n"
             "Reproduce: `python scripts/scaling.py --tier "
-            f"{args.tier}`\n"
+            f"{args.tier} --replicate {args.replicate}`\n"
         )
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
