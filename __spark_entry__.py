@@ -246,6 +246,16 @@ def q_ann_lsh(spark, sf):
     )
 
 
+def q_dedup_embedding(spark, sf):
+    """Fifth dedup modality: embedding-cosine near-dup via 4-plane
+    LSH candidate pairs + exact cosine verification."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return SIM.embedding_neardup_pairs(
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding"),
+        dim=64,
+    )
+
+
 def q_token_counts(spark, sf):
     return _corpus(spark, sf).select(
         "doc_id",
@@ -341,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "text_token_counts": q_token_counts,
@@ -372,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": S.sql_lsh_pairs(),
         "dedup_ngram_jaccard": S.sql_ngram_jaccard("source"),
         "dedup_simhash": S.sql_simhash(),
+        "dedup_embedding": S.sql_embedding_neardup(),
         "ann_cosine_topk": S.sql_ann_cosine(TOP_K),
         "ann_lsh_topk": S.sql_ann_lsh(TOP_K),
         "text_token_counts": S.sql_token_counts(),

@@ -65,11 +65,13 @@ def main() -> None:
     # --- driver query surface at sf_dir
     qmap = entry.queries()
     bench_queries = [
-        "and_search", "or_search", "phrase_search", "bm25_topk", "tfidf_topk",
+        "and_search", "or_search", "phrase_search", "bm25_topk",
+        "bm25_wand_topk", "tfidf_topk",
         "term_stats", "postings_dump", "dedup_exact", "dedup_minhash",
-        "dedup_lsh_pairs", "dedup_simhash", "ann_cosine_topk", "ann_lsh_topk",
-        "text_token_counts", "text_quality", "text_fingerprint",
-        "events_hourly", "pagerank",
+        "dedup_lsh_pairs", "dedup_simhash", "dedup_embedding",
+        "ann_cosine_topk", "ann_lsh_topk",
+        "text_token_counts", "text_quality", "text_lang_id",
+        "text_fingerprint", "events_hourly", "pagerank",
     ]
     # index-build for the driver tables happens inside the first query;
     # time it separately so per-query numbers reflect query cost.
@@ -80,8 +82,21 @@ def main() -> None:
         fn = qmap[name]
         timed(name, lambda f=fn: f(spark, sf_dir).collect())
 
-    qtimes = sorted(timings[q] for q in bench_queries if q in timings)
-    p95 = qtimes[min(len(qtimes) - 1, int(0.95 * len(qtimes)))] if qtimes else 0.0
+    # --- p95 TOP-K QUERY latency (the north-rule metric): repeated
+    # runs of the ranked/boolean retrieval queries against the warm
+    # index — NOT the analytics suite above.
+    topk_queries = [
+        "bm25_topk", "bm25_wand_topk", "tfidf_topk",
+        "and_search", "or_search", "phrase_search",
+    ]
+    samples: list[float] = []
+    for _ in range(4):
+        for name in topk_queries:
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+    samples.sort()
+    p95 = round(samples[min(len(samples) - 1, int(0.95 * len(samples)))], 4)
     total = round(sum(timings.values()), 4)
 
     print(

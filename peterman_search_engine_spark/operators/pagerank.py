@@ -38,12 +38,16 @@ def pagerank(
         .distinct()
         .cache()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # fold outdeg into the stationary edge table ONCE — each sweep is
+    # then a single join + aggregation instead of two joins
+    edges_od = (
+        edges.join(outdeg, "src").select("src", "dst", "outdeg").cache()
+    )
     ranks = nodes.withColumn("pr", F.lit(1.0))
     for i in range(num_iterations):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
+            edges_od.join(ranks, edges_od.src == ranks.node)
             .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

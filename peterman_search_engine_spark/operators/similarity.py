@@ -105,6 +105,60 @@ def lsh_buckets(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    threshold_e6: int = 300_000,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: the fifth dedup
+    modality (after exact / MinHash-LSH / SimHash / n-gram Jaccard).
+
+    Scale path: random-hyperplane LSH buckets (fewer planes than ANN —
+    recall over precision for dedup) restrict the self-join to
+    same-bucket pairs, keeping the candidate set ~|n|²/2^P instead of
+    the full cross join; exact cosine then verifies each candidate.
+    At 100 TB the bucket column is the repartition key, so the
+    self-join is per-bucket-local. Returns (vec_a, vec_b, cos_e6) for
+    candidate pairs with round(cos*1e6) >= threshold_e6, vec_a < vec_b.
+    """
+    buckets = lsh_buckets(
+        embeddings, dim=dim, num_planes=num_planes, id_col=id_col, vec_col=vec_col
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+    )
+    ea = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    scored = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")) * 1_000_000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    return scored.filter(F.col("cos_e6") >= threshold_e6).select(
+        "vec_a", "vec_b", "cos_e6"
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec: list[float],

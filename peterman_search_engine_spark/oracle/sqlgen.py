@@ -303,6 +303,53 @@ SELECT vec_id,
 FROM cd, qn ORDER BY cos_e6 DESC, vec_id LIMIT {k}"""
 
 
+def sql_embedding_neardup(
+    threshold_e6: int = 300_000, num_planes: int = 4
+) -> str:
+    """Embedding-cosine near-dup: LSH-bucketed candidate pairs with
+    exact cosine >= threshold on the e6-rounded value."""
+    return f"""WITH {EMB_DOT},
+planes AS (
+  SELECT CAST(p AS INTEGER) AS p, CAST(i AS INTEGER) AS i,
+         CAST(((p * 37 + i * 11) % 5) - 2 AS DOUBLE) AS c
+  FROM range({num_planes}) t(p), range(64) s(i)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.c) AS d
+  FROM embu e JOIN planes pl ON pl.i = e.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN ROUND(d * 1000000) > 0
+             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM embu GROUP BY 1),
+pd AS (
+  SELECT p.vec_a, p.vec_b, sum(ea.x * eb.x) AS dot
+  FROM pairs p
+  JOIN embu ea ON ea.vec_id = p.vec_a
+  JOIN embu eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT pd.vec_a, pd.vec_b,
+         CAST(ROUND(1000000 * dot / (na.n * nb.n)) AS BIGINT) AS cos_e6
+  FROM pd
+  JOIN norms na ON na.vec_id = pd.vec_a
+  JOIN norms nb ON nb.vec_id = pd.vec_b
+)
+SELECT vec_a, vec_b, cos_e6 FROM scored
+WHERE cos_e6 >= {threshold_e6}
+ORDER BY cos_e6 DESC, vec_a, vec_b"""
+
+
 def sql_token_counts() -> str:
     return f"""SELECT doc_id,
   CAST(CASE WHEN trim(text) = '' THEN 0
