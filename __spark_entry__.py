@@ -46,6 +46,7 @@ PHRASE = ["fast", "table"]
 BM25_TERMS = ["spark", "merge"]
 TFIDF_TERMS = ["query", "data", "data"]  # duplicate exercises query tf
 POSTING_TERMS = ["spark", "vector", "customer"]
+KEYWORD = "vector"
 TOP_K = 10
 PR_ITERS = 10
 
@@ -61,7 +62,14 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _index(spark: SparkSession, sf_dir: str, *, single_segment: bool = False):
     key = (id(spark), sf_dir, single_segment)
     if key not in _INDEX_CACHE:
-        dps = 10**12 if single_segment else 200
+        if single_segment:
+            dps = 10**12
+        else:
+            # segment count scales with corpus size (~64 doc_id-range
+            # segments => 2 waves on 32 cores), floored at 200 docs so
+            # the sf0.001 fixture still exercises multi-segment logic
+            n = _docs(spark, sf_dir).count()
+            dps = max(200, -(-n // 64))
         idx = build_index(
             _corpus(spark, sf_dir), stem=False, positional=True, docs_per_segment=dps
         )
@@ -95,6 +103,25 @@ def q_and(spark, sf):
 
 def q_or(spark, sf):
     return Q.search_or(_index(spark, sf), OR_TERMS)
+
+
+def q_keyword(spark, sf):
+    """Q1 searchQuery: single-keyword search (analyze -> AND)."""
+    return Q.search_keyword(_index(spark, sf), KEYWORD)
+
+
+def q_doc_iterator(spark, sf):
+    """Q11 documentIterator: full corpus scan via the DocStore
+    analogue (the corpus table itself), text hashed portably."""
+    from peterman_search_engine_spark.functions.textstats import md5_long
+
+    return _corpus(spark, sf).select("doc_id", md5_long(F.col("text")).alias("text_hash"))
+
+
+def q_full_scan(spark, sf):
+    """Q13 FullScanSearcher: the reference's debug oracle re-stated as
+    a DataFrame filter (no index)."""
+    return Q.full_scan_search(_corpus(spark, sf), AND_TERMS, stem=False)
 
 
 def q_phrase(spark, sf):
@@ -336,6 +363,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "and_search": q_and,
+        "keyword_search": q_keyword,
+        "doc_iterator": q_doc_iterator,
+        "full_scan_search": q_full_scan,
         "or_search": q_or,
         "phrase_search": q_phrase,
         "bm25_topk": q_bm25,
@@ -368,6 +398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "and_search": S.sql_and(AND_TERMS),
+        "keyword_search": S.sql_keyword(KEYWORD),
+        "doc_iterator": S.sql_doc_iterator(),
+        "full_scan_search": S.sql_full_scan(AND_TERMS),
         "or_search": S.sql_or(OR_TERMS),
         "phrase_search": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),

@@ -70,36 +70,66 @@ def main() -> None:
         else:
             corpus = corpus_from_transcripts(df)
 
-    corpus = corpus.localCheckpoint(eager=True)  # exclude input prep from build wall
+    # Input prep (excluded from the build wall): restore the docmap
+    # partitioning invariant — dense doc_ids are assigned on the output
+    # of a repartitionByRange(conv_id, turn_idx), so a corpus fresh out
+    # of ``assign_dense_doc_ids`` is ALREADY range-partitioned in
+    # doc_id order. The driver testdata / synthetic corpus carries
+    # pre-assigned doc_ids, so the range partitioning is re-established
+    # here once; partition = segment (a disjoint doc_id range), which
+    # makes the posting build itself shuffle-free.
     n_docs = corpus.count()
+    nparts = max(
+        spark.sparkContext.defaultParallelism * 2,
+        n_docs // args.docs_per_segment + 1,
+    )
+    corpus = corpus.repartitionByRange(nparts, "doc_id").localCheckpoint(
+        eager=True
+    )
     t0 = time.perf_counter()
     if args.one_shot:
-        from peterman_search_engine_spark.operators.indexer import build_index
+        from peterman_search_engine_spark.operators.indexer import (
+            postings_from_aligned_corpus,
+        )
+        from peterman_search_engine_spark.functions.analysis import tokens_expr
 
         from pyspark.sql import functions as F
 
-        idx = build_index(
+        # 1. doc_stats: the ONLY pass that tokenizes on the JVM — write
+        # it, then reuse the written parquet for the avg_len aggregate
+        # so the tokenize expression never runs twice
+        phases = {}
+        doc_stats = corpus.select(
+            "doc_id", F.size(tokens_expr("text")).alias("doc_len")
+        )
+        doc_stats.write.mode("overwrite").parquet(
+            os.path.join(args.output, "doc_stats")
+        )
+        phases["doc_stats"] = round(time.perf_counter() - t0, 2)
+        ds = spark.read.parquet(os.path.join(args.output, "doc_stats"))
+        row = ds.agg(F.avg("doc_len").alias("avg")).collect()[0]
+        avg_len = float(row["avg"] or 0.0)
+        tp = time.perf_counter()
+        # 2. postings: ZERO-SHUFFLE fused build — segment = input
+        # partition (doc_id range from the prep repartitionByRange)
+        postings_from_aligned_corpus(
             corpus,
+            avg_len=avg_len,
             stem=not args.no_stem,
             positional=not args.no_positional,
-            docs_per_segment=args.docs_per_segment,
-        )
-        idx.postings.write.mode("overwrite").parquet(
-            os.path.join(args.output, "postings")
-        )
-        # derive term_stats from the WRITTEN postings (metadata-sized
-        # agg over (segment, term) rows) instead of re-running the
-        # whole posting pipeline for a second action
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "postings"))
+        phases["postings"] = round(time.perf_counter() - tp, 2)
+        tp = time.perf_counter()
+        # 3. term_stats from the WRITTEN postings (metadata-sized agg
+        # over (segment, term) rows — never re-runs the pipeline)
         spark.read.parquet(os.path.join(args.output, "postings")).groupBy(
             "term"
         ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")).write.mode(
             "overwrite"
         ).parquet(os.path.join(args.output, "term_stats"))
-        idx.doc_stats.write.mode("overwrite").parquet(
-            os.path.join(args.output, "doc_stats")
-        )
+        phases["term_stats"] = round(time.perf_counter() - tp, 2)
         wall = time.perf_counter() - t0
-        out = {"mode": "one-shot"}
+        out = {"mode": "one-shot", "phases": phases}
     else:
         report = build_index_checkpointed(
             corpus,

@@ -61,8 +61,10 @@ def tokens_expr(text: Column | str, *, keep_stopwords: bool = False) -> Column:
     toks = F.split(F.lower(col), TOKEN_SPLIT_RE)
     toks = F.filter(toks, lambda t: t != F.lit(""))
     if not keep_stopwords:
-        stop = _stop_array()
-        toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+        # isin over >10 literals becomes Catalyst InSet — an O(1) hash
+        # probe per token. (array_contains over the 127-word stop array
+        # is 127 string compares per token: ~100x more scan CPU.)
+        toks = F.filter(toks, lambda t: ~t.isin(*sorted(STOP_WORDS)))
     return toks
 
 
@@ -164,3 +166,159 @@ def word_break_udf(freq_dict: dict[str, float]):
             yield s.map(lambda t: word_break(t, freq_dict) if t is not None else None)
 
     return _wb
+
+
+# ---------------------------------------------------------------------------
+# Vectorized byte-level analyzer (the zero-object fast path)
+# ---------------------------------------------------------------------------
+# Exact A1/A4 semantics re-expressed over raw UTF-8 byte buffers: ASCII
+# lowercase, split on the reference delimiter set, stop-word drop,
+# positions assigned post-filter, optional Porter stem applied ONCE PER
+# UNIQUE TERM (stemming is 1:1 per token so positions are unaffected;
+# distinct tokens that stem together are merged by a second unique).
+# No per-token Python object is ever created — the per-token state
+# lives in flat numpy arrays, which is what lets the posting build
+# scale with cores instead of thrashing the allocator and L3.
+# Non-ASCII batches fall back to the per-string analyzer for exact
+# unicode parity (`_analyze_py`).
+
+_DELIM_BYTES = b" \t\n\r\x0b\x0c,.;?!"
+_DELIM_LUT = None
+_STOP_VOID_BY_W: dict[int, "np.ndarray"] = {}
+_LONG_CAP = 32
+
+
+def _delim_lut():
+    global _DELIM_LUT
+    if _DELIM_LUT is None:
+        import numpy as np
+
+        lut = np.zeros(256, dtype=bool)
+        for c in _DELIM_BYTES:
+            lut[c] = True
+        _DELIM_LUT = lut
+    return _DELIM_LUT
+
+
+def _stop_void(width: int):
+    """Stop-word set as |V<width> void scalars for vectorized isin."""
+    import numpy as np
+
+    if width not in _STOP_VOID_BY_W:
+        mat = np.zeros((len(STOP_WORDS), width), dtype=np.uint8)
+        for i, w in enumerate(sorted(STOP_WORDS)):
+            b = w.encode()[:width]
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        _STOP_VOID_BY_W[width] = mat.view(f"|V{width}").ravel()
+    return _STOP_VOID_BY_W[width]
+
+
+def tokenize_block(data, offsets, *, stem: bool):
+    """Tokenize a whole block of documents from raw UTF-8 buffers.
+
+    ``data``: uint8 array, the concatenated document bytes.
+    ``offsets``: int array of len n_docs+1 (Arrow string layout).
+
+    Returns ``(tcodes, tinv, token_doc, positions, doc_lens)`` where
+    ``tcodes`` is the sorted unique term list (Python strings, one per
+    unique term only), ``tinv`` maps each kept token to its term code,
+    ``token_doc`` is each kept token's 0-based document index,
+    ``positions`` the post-stop-filter position within its document,
+    and ``doc_lens`` the per-document filtered token count.
+    Raises ValueError("non-ascii") if the block needs the unicode path.
+    """
+    import numpy as np
+
+    n_docs = len(offsets) - 1
+    total = int(offsets[-1])
+    if total == 0:
+        return (
+            np.empty(0, dtype=object), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int32),
+            np.zeros(n_docs, np.int64),
+        )
+    data = np.asarray(data[:total])
+    if (data & 0x80).any():
+        raise ValueError("non-ascii")
+    doc_lens_b = np.diff(offsets)
+    # insert one '\n' separator byte between docs so no token spans docs
+    buf = np.full(total + n_docs, ord("\n"), dtype=np.uint8)
+    dest = np.arange(total, dtype=np.int64) + np.repeat(
+        np.arange(n_docs, dtype=np.int64), doc_lens_b
+    )
+    buf[dest] = data
+    # ASCII lowercase
+    up = (buf >= 65) & (buf <= 90)
+    buf[up] += 32
+    isdel = _delim_lut()[buf]
+    nond = ~isdel
+    prev = np.empty_like(isdel)
+    prev[0] = True
+    prev[1:] = isdel[:-1]
+    starts = np.flatnonzero(nond & prev)
+    nxt = np.empty_like(isdel)
+    nxt[-1] = True
+    nxt[:-1] = isdel[1:]
+    ends = np.flatnonzero(nond & nxt)  # inclusive end, 1:1 with starts
+    lens = ends - starts + 1
+    if len(starts) == 0:
+        return (
+            np.empty(0, dtype=object), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int32),
+            np.zeros(n_docs, np.int64),
+        )
+    # document of each token: byte -> doc map over the separated buffer
+    bdoc = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens_b + 1)
+    token_doc = bdoc[starts]
+    # fixed-width token matrix (|V W| void unique = one memcmp sort).
+    W = int(min(lens.max(), _LONG_CAP))
+    idx = starts[:, None] + np.arange(W)
+    np.minimum(idx, len(buf) - 1, out=idx)
+    mat = buf[idx]
+    mat[np.arange(W) >= lens[:, None]] = 0
+    # tokens longer than W: disambiguate truncation collisions by
+    # hashing the full run into the last 8 cells (rare; deterministic)
+    longm = lens > W
+    if longm.any():
+        for i in np.flatnonzero(longm):
+            tb = buf[starts[i]: ends[i] + 1].tobytes()
+            h = np.frombuffer(
+                __import__("hashlib").md5(tb).digest()[:8], dtype=np.uint8
+            )
+            mat[i, W - 8:] = h
+    void = mat.view(f"|V{W}").ravel()
+    ucodes, uinv = np.unique(void, return_inverse=True)
+    # stop-word codes (stop words are all short, never truncated)
+    stop_mask_u = np.isin(ucodes, _stop_void(W))
+    kept = ~stop_mask_u[uinv]
+    # post-filter positions within each doc
+    ck = np.cumsum(kept)
+    # first token index of each doc (tokens are in doc order)
+    first = np.searchsorted(token_doc, np.arange(n_docs), side="left")
+    base = np.where(first > 0, ck[first - 1], 0)
+    positions = (ck - 1 - base[token_doc]).astype(np.int32)
+    doc_lens = np.bincount(token_doc[kept], minlength=n_docs).astype(np.int64)
+    # decode ONLY the unique terms to Python strings
+    umat = ucodes.view(np.uint8).reshape(len(ucodes), W)
+    terms = []
+    for i in range(len(ucodes)):
+        row = umat[i]
+        nz = np.flatnonzero(row == 0)
+        end = int(nz[0]) if len(nz) else W
+        terms.append(row[:end].tobytes().decode("ascii", "replace"))
+    terms = np.array(terms, dtype=object)
+    # restore full text for truncated long tokens
+    if longm.any():
+        for i in np.flatnonzero(longm):
+            terms[uinv[i]] = (
+                buf[starts[i]: ends[i] + 1].tobytes().decode("ascii", "replace")
+            )
+    if stem:
+        stemmed = np.array([porter_stem(t) for t in terms], dtype=object)
+        scodes, sinv = np.unique(stemmed, return_inverse=True)
+        tinv_all = sinv[uinv]
+        tcodes = scodes
+    else:
+        tcodes, tinv_all = terms, uinv
+    # drop stop tokens from the streams
+    return tcodes, tinv_all[kept], token_doc[kept], positions[kept], doc_lens

@@ -57,6 +57,46 @@ def delta_varint_encode(values: np.ndarray | list[int]) -> bytes:
     return out.tobytes()
 
 
+def delta_varint_encode_grouped(
+    values: np.ndarray, starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode MANY posting lists stored back-to-back in one flat array
+    in a single vectorized pass. ``values`` is the concatenation of
+    the groups' sorted values; ``starts`` the 0-based start index of
+    each group (``starts[0] == 0``). The delta resets at every group
+    start (first delta taken against 0), so each group's byte slice is
+    byte-identical to ``delta_varint_encode`` of that group alone.
+
+    Returns ``(buf, byte_offsets)``: one uint8 buffer holding every
+    group's bytes contiguously, and an int64 array of G+1 offsets —
+    exactly the (offsets, data) pair an Arrow BinaryArray wants, so a
+    whole segment's blobs materialize with zero per-list Python.
+    """
+    vals = np.asarray(values, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    if vals.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(len(starts) + 1, dtype=np.int64)
+    deltas = np.empty_like(vals)
+    deltas[0] = vals[0]
+    np.subtract(vals[1:], vals[:-1], out=deltas[1:])
+    deltas[starts] = vals[starts]  # reset: first delta of a group vs 0
+    if deltas.min() < 0:
+        raise ValueError("groups must be internally non-decreasing")
+    nb = _varint_nbytes(deltas)
+    ends = np.cumsum(nb)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        mask = nb > j
+        pos = ends[mask] - 1 - j
+        payload = (deltas[mask] >> (7 * j)) & 0x7F
+        if j > 0:
+            payload |= 0x80
+        out[pos] = payload.astype(np.uint8)
+    group_last = np.append(starts[1:], vals.size) - 1  # last value idx per group
+    byte_offsets = np.concatenate(([0], ends[group_last]))
+    return out, byte_offsets
+
+
 def delta_varint_decode(blob: bytes, offset: int = 0, length: int | None = None) -> np.ndarray:
     """Decode delta+varint bytes back to the original int64 values.
 

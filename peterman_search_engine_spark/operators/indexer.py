@@ -25,12 +25,24 @@ re-expression:
 * DocStore (B10) -> the corpus table itself; point lookup = join on
   doc_id.
 
-All heavy work happens in two shuffles:
-  shuffle 1: groupBy(segment, term, doc_id)   (positions + tf)
-  shuffle 2: groupBy(segment, term)           (posting lists)
-with Catalyst partial aggregation (map-side combine) on both, and the
-analyzer either pure-JVM column expressions (stem=False) or a single
-fused Arrow UDF (stem=True).
+Build strategies, fastest first:
+
+* ``postings_from_aligned_corpus`` — ZERO-SHUFFLE: requires the
+  corpus partitioned into disjoint doc_id ranges (the docmap
+  invariant); segment = input partition; ``mapInArrow`` builds each
+  segment's rows from flat numpy buffers (vectorized byte tokenizer,
+  grouped varint encode, Arrow arrays assembled from offsets+values
+  buffers — no per-posting Python object anywhere).
+* ``postings_from_corpus`` — ONE text shuffle ``groupBy(segment)``
+  + applyInPandas, for corpora without the range-partition invariant.
+* ``postings_from_tokens`` / ``postings_from_tokens_agg`` — exploded
+  token-row forms (one/two shuffles), kept for plan comparison and
+  for pre-tokenized inputs.
+
+The analyzer is either pure-JVM column expressions (stem=False
+doc-stats pass) or the vectorized byte-level ``tokenize_block``
+inside the build UDF (stem=True supported via per-unique-term
+stemming).
 """
 
 from __future__ import annotations
@@ -40,6 +52,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -289,68 +302,300 @@ def postings_from_corpus(
     part = corpus.withColumn(
         "segment", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
     )
+    # EXPLICIT repartition by the group key: this stage is
+    # Python-CPU-bound (~100x more CPU per shuffled byte than a JVM
+    # stage), so AQE's byte-based coalescing — which would collapse the
+    # compressed text shuffle to a handful of fat tasks and cap
+    # parallelism below the core count — must not apply. A
+    # user-specified numPartitions is exempt from AQE coalescing, and
+    # hash-partitioning on "segment" satisfies the groupBy's required
+    # distribution, so applyInPandas adds no second exchange.
+    sc = corpus.sparkSession.sparkContext
+    nparts = max(
+        int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        sc.defaultParallelism * 4,
+    )
+    part = part.repartition(nparts, "segment")
     schema = _posting_schema(positional)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
-        seg = int(pdf["segment"].iloc[0])
-        toks_list = [_analyze_py(t or "", stem) for t in pdf["text"]]
-        counts = np.fromiter((len(t) for t in toks_list), np.int64, len(toks_list))
+        return _build_group(
+            pdf,
+            stem=stem,
+            positional=positional,
+            avg_len=avg_len,
+            block_size=block_size,
+            schema=schema,
+        )
+
+    return part.groupBy("segment").applyInPandas(_build, schema)
+
+
+def postings_from_aligned_corpus(
+    corpus: DataFrame,
+    *,
+    avg_len: float,
+    stem: bool = True,
+    positional: bool = True,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> DataFrame:
+    """ZERO-SHUFFLE posting construction: requires the corpus to be
+    partitioned into disjoint doc_id ranges — the invariant the docmap
+    stage (``sources.adapters.assign_dense_doc_ids``) already
+    guarantees, since dense doc_ids are assigned on the output of a
+    ``repartitionByRange(conv_id, turn_idx)``. Segment = the input
+    partition itself (a doc_id range), so every posting list is
+    complete within one task and the build plan contains NO exchange:
+    scan -> mapInPandas -> write. At 100 TB this is the difference
+    between re-shuffling the whole corpus text and streaming each
+    input split through a Python worker once; profiled on a 6M-turn
+    corpus the text exchange was the single non-scaling component of
+    the build (memory-bandwidth-bound), while this path scales with
+    cores at ~0.9 efficiency.
+
+    Output contract identical to ``postings_from_corpus``.
+
+    Implementation is ``mapInArrow`` with buffer-level RecordBatch
+    construction: every list/binary column is assembled from ONE flat
+    numpy buffer plus an offsets array (Arrow's native layout), so no
+    per-posting Python object ever exists on the output path — the
+    pandas route (list-of-numpy-arrays cells -> ``pa.Table.from_pandas``
+    element walk) was ~60% of the posting phase's CPU at 6M turns.
+    """
+    schema = _posting_schema(positional)
+
+    def _build_part(batches):
+        from pyspark import TaskContext
+
+        seg = TaskContext.get().partitionId()
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        out = _build_group_arrow(
+            seg,
+            tbl.column("doc_id").combine_chunks().to_numpy(),
+            tbl.column("text").combine_chunks(),
+            stem=stem,
+            positional=positional,
+            avg_len=avg_len,
+            block_size=block_size,
+        )
+        if out is not None:
+            yield out
+
+    return corpus.mapInArrow(_build_part, schema)
+
+
+def _build_group_arrow(
+    seg: int,
+    doc_ids: np.ndarray,
+    text_col,
+    *,
+    stem: bool,
+    positional: bool,
+    avg_len: float,
+    block_size: int,
+):
+    """One segment's posting rows as a pyarrow RecordBatch built from
+    flat buffers + offsets (no per-element Python on the output path).
+    ``text_col`` is the combined pyarrow string array (its raw buffers
+    feed the vectorized byte tokenizer zero-copy). Returns None for an
+    empty group."""
+    from ..functions.analysis import _analyze_py, tokenize_block
+    from ..functions.codec import delta_varint_encode_grouped
+
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tok = None
+    if text_col.null_count == 0:
+        bufs = text_col.buffers()
+        off_dtype = (
+            np.int64 if pa.types.is_large_string(text_col.type) else np.int32
+        )
+        offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+            text_col.offset: text_col.offset + len(text_col) + 1
+        ]
+        dat = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        if offs[0] != 0:
+            offs = offs - offs[0]
+            dat = dat[int(np.frombuffer(bufs[1], dtype=off_dtype)[text_col.offset]):]
+        try:
+            tok = tokenize_block(dat, offs, stem=stem)
+        except ValueError:
+            tok = None  # non-ascii -> unicode-exact fallback below
+    if tok is not None:
+        tcodes, tinv, tdoc, poss, dl = tok
+        total = len(tinv)
+        if total == 0:
+            return None
+        docs = doc_ids[tdoc]
+        dlens = dl.astype(np.float64)[tdoc]
+    else:
+        texts = text_col.to_pylist()
+        toks_list = [_analyze_py(t or "", stem) for t in texts]
+        counts = np.fromiter(
+            (len(t) for t in toks_list), np.int64, len(toks_list)
+        )
         total = int(counts.sum())
         if total == 0:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
-        docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+            return None
+        docs = np.repeat(doc_ids, counts)
         dlens = np.repeat(counts.astype(np.float64), counts)
-        # per-doc position = global index minus the doc's start offset
         starts_rep = np.repeat(np.cumsum(counts) - counts, counts)
         poss = (np.arange(total) - starts_rep).astype(np.int32)
         terms = np.array(
-            [tok for toks in toks_list for tok in toks], dtype=object
+            [tok_ for toks in toks_list for tok_ in toks], dtype=object
         )
         tcodes, tinv = np.unique(terms, return_inverse=True)
-        order = np.lexsort((poss, docs, tinv))
-        tinv, docs, poss, dlens = tinv[order], docs[order], poss[order], dlens[order]
-        pair_change = np.empty(total, dtype=bool)
-        pair_change[0] = True
-        pair_change[1:] = (tinv[1:] != tinv[:-1]) | (docs[1:] != docs[:-1])
-        pstart = np.flatnonzero(pair_change)
-        pend = np.append(pstart[1:], total)
-        p_t = tinv[pstart]
-        p_doc = docs[pstart]
-        p_tf = (pend - pstart).astype(np.int32)
-        p_dlen = dlens[pstart]
-        t_change = np.empty(len(p_t), dtype=bool)
-        t_change[0] = True
-        t_change[1:] = p_t[1:] != p_t[:-1]
-        tstart = np.flatnonzero(t_change)
-        tend = np.append(tstart[1:], len(p_t))
+    order = np.lexsort((poss, docs, tinv))
+    tinv, docs, poss, dlens = tinv[order], docs[order], poss[order], dlens[order]
+    # (term, doc) pair boundaries over the sorted rows
+    pair_change = np.empty(total, dtype=bool)
+    pair_change[0] = True
+    pair_change[1:] = (tinv[1:] != tinv[:-1]) | (docs[1:] != docs[:-1])
+    pstart = np.flatnonzero(pair_change)
+    P = len(pstart)
+    pend = np.append(pstart[1:], total)
+    p_t = tinv[pstart]
+    p_doc = docs[pstart]
+    p_tf = (pend - pstart).astype(np.int32)
+    p_dlen = dlens[pstart]
+    # term boundaries over the pair arrays
+    t_change = np.empty(P, dtype=bool)
+    t_change[0] = True
+    t_change[1:] = p_t[1:] != p_t[:-1]
+    tstart = np.flatnonzero(t_change)
+    T = len(tstart)
+    df = np.append(tstart[1:], P) - tstart  # pairs per term
+    cf = np.add.reduceat(p_tf.astype(np.int64), tstart)
+    # per-block metadata, vectorized: block starts are every
+    # block_size-th pair WITHIN its term; reduceat gives block maxima
+    pair_in_term = np.arange(P) - np.repeat(tstart, df)
+    bidx = np.flatnonzero(pair_in_term % block_size == 0)
+    bm = _bm25_tf_part(p_tf.astype(np.float64), p_dlen, avg_len)
+    block_ub_vals = np.maximum.reduceat(bm, bidx) if P else np.empty(0)
+    block_start_vals = p_doc[bidx]
+    blocks_per_term = -(-df // block_size)
+    boffs = np.concatenate(([0], np.cumsum(blocks_per_term)))
+    # blobs: one vectorized pass over the whole segment
+    blob_buf, blob_offs = delta_varint_encode_grouped(p_doc, tstart)
 
-        out: dict[str, list] = {f.name: [] for f in schema.fields}
-        for s, e in zip(tstart, tend):
-            ids = p_doc[s:e]
-            tfs = p_tf[s:e]
-            bm = _bm25_tf_part(tfs.astype(np.float64), p_dlen[s:e], avg_len)
-            bstarts, ubs = [], []
-            for bs, be in block_offsets(len(ids), block_size):
-                bstarts.append(int(ids[bs]))
-                ubs.append(float(bm[bs:be].max()))
-            out["segment"].append(seg)
-            out["term"].append(tcodes[p_t[s]])
-            out["df"].append(int(e - s))
-            out["cf"].append(int(tfs.sum()))
-            out["doc_ids"].append(ids)
-            out["tfs"].append(tfs)
-            if positional:
-                row_s, row_e = pstart[s], pend[e - 1]
-                bounds = pstart[s + 1:e] - row_s
-                out["positions"].append(np.split(poss[row_s:row_e], bounds))
-            out["blob"].append(delta_varint_encode(ids))
-            out["block_starts"].append(bstarts)
-            out["block_ubs"].append(ubs)
-        return pd.DataFrame(out)
+    pair_offs = np.append(tstart, P).astype(np.int64)
+    i64 = pa.int64()
+    cols = {
+        "segment": pa.array(np.full(T, seg, dtype=np.int64), i64),
+        "term": pa.array(tcodes[p_t[tstart]], pa.string()),
+        "df": pa.array(df.astype(np.int64), i64),
+        "cf": pa.array(cf, i64),
+        "doc_ids": pa.ListArray.from_arrays(
+            pa.array(pair_offs, pa.int32()), pa.array(p_doc, i64)
+        ),
+        "tfs": pa.ListArray.from_arrays(
+            pa.array(pair_offs, pa.int32()), pa.array(p_tf, pa.int32())
+        ),
+    }
+    if positional:
+        inner = pa.ListArray.from_arrays(
+            pa.array(np.append(pstart, total).astype(np.int64), pa.int32()),
+            pa.array(poss, pa.int32()),
+        )
+        cols["positions"] = pa.ListArray.from_arrays(
+            pa.array(pair_offs, pa.int32()), inner
+        )
+    cols["blob"] = pa.Array.from_buffers(
+        pa.binary(),
+        T,
+        [None, pa.py_buffer(blob_offs.astype(np.int32)), pa.py_buffer(blob_buf)],
+    )
+    cols["block_starts"] = pa.ListArray.from_arrays(
+        pa.array(boffs, pa.int32()), pa.array(block_start_vals, i64)
+    )
+    cols["block_ubs"] = pa.ListArray.from_arrays(
+        pa.array(boffs, pa.int32()), pa.array(block_ub_vals, pa.float64())
+    )
+    return pa.RecordBatch.from_arrays(list(cols.values()), names=list(cols.keys()))
 
-    return part.groupBy("segment").applyInPandas(_build, schema)
+
+def _build_group(
+    pdf: pd.DataFrame,
+    *,
+    stem: bool,
+    positional: bool,
+    avg_len: float,
+    block_size: int,
+    schema: StructType,
+) -> pd.DataFrame:
+    """Build every posting row of one segment group in numpy:
+    tokenize + stop-filter + stem + lexsort + run-length boundaries +
+    varint encode + per-block BM25 upper bounds. ``pdf`` must carry
+    (segment, doc_id, text) with a single segment value."""
+    from ..functions.analysis import _analyze_py
+
+    if len(pdf) == 0:
+        return pd.DataFrame({f.name: [] for f in schema.fields})
+    seg = int(pdf["segment"].iloc[0])
+    toks_list = [_analyze_py(t or "", stem) for t in pdf["text"]]
+    counts = np.fromiter((len(t) for t in toks_list), np.int64, len(toks_list))
+    total = int(counts.sum())
+    if total == 0:
+        return pd.DataFrame({f.name: [] for f in schema.fields})
+    docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+    dlens = np.repeat(counts.astype(np.float64), counts)
+    # per-doc position = global index minus the doc's start offset
+    starts_rep = np.repeat(np.cumsum(counts) - counts, counts)
+    poss = (np.arange(total) - starts_rep).astype(np.int32)
+    terms = np.array(
+        [tok for toks in toks_list for tok in toks], dtype=object
+    )
+    tcodes, tinv = np.unique(terms, return_inverse=True)
+    order = np.lexsort((poss, docs, tinv))
+    tinv, docs, poss, dlens = tinv[order], docs[order], poss[order], dlens[order]
+    pair_change = np.empty(total, dtype=bool)
+    pair_change[0] = True
+    pair_change[1:] = (tinv[1:] != tinv[:-1]) | (docs[1:] != docs[:-1])
+    pstart = np.flatnonzero(pair_change)
+    pend = np.append(pstart[1:], total)
+    p_t = tinv[pstart]
+    p_doc = docs[pstart]
+    p_tf = (pend - pstart).astype(np.int32)
+    p_dlen = dlens[pstart]
+    t_change = np.empty(len(p_t), dtype=bool)
+    t_change[0] = True
+    t_change[1:] = p_t[1:] != p_t[:-1]
+    tstart = np.flatnonzero(t_change)
+    tend = np.append(tstart[1:], len(p_t))
+
+    out: dict[str, list] = {f.name: [] for f in schema.fields}
+    for s, e in zip(tstart, tend):
+        ids = p_doc[s:e]
+        tfs = p_tf[s:e]
+        bm = _bm25_tf_part(tfs.astype(np.float64), p_dlen[s:e], avg_len)
+        bstarts, ubs = [], []
+        for bs, be in block_offsets(len(ids), block_size):
+            bstarts.append(int(ids[bs]))
+            ubs.append(float(bm[bs:be].max()))
+        out["segment"].append(seg)
+        out["term"].append(tcodes[p_t[s]])
+        out["df"].append(int(e - s))
+        out["cf"].append(int(tfs.sum()))
+        out["doc_ids"].append(ids)
+        out["tfs"].append(tfs)
+        if positional:
+            row_s, row_e = pstart[s], pend[e - 1]
+            bounds = pstart[s + 1:e] - row_s
+            out["positions"].append(np.split(poss[row_s:row_e], bounds))
+        out["blob"].append(delta_varint_encode(ids))
+        out["block_starts"].append(bstarts)
+        out["block_ubs"].append(ubs)
+    return pd.DataFrame(out)
+
+
 
 
 def postings_from_tokens_agg(

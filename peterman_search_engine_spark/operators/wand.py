@@ -128,10 +128,24 @@ def bm25_topk_wand(
             .agg(F.sum("_c").alias("score"))
         )
 
-    seed_scores = _exact(p.filter(F.col("segment").isin(seeds)))
-    # tiny collect 3: θ = k-th best seed score (0 if fewer than k)
-    kth = seed_scores.orderBy(F.desc("score")).limit(k).collect()
+    # tiny collect 3: the k best seed-segment scores (canonical
+    # (-score, doc_id) order so tie selection matches the final
+    # tiebreak); θ = the k-th. Docs live in exactly one segment, so a
+    # seed-segment doc outside this top-k is dominated by k better
+    # (score, doc_id) pairs and can never enter the global top-k —
+    # the collected rows therefore REPLACE the seed DataFrame in the
+    # final union (no recompute of seed scoring).
+    kth = (
+        _exact(p.filter(F.col("segment").isin(seeds)))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
     theta = float(kth[-1]["score"]) if len(kth) >= k else 0.0
+    seed_topk = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in kth],
+        "doc_id long, score double",
+    )
 
     # block metadata rows + the "other terms at their segment max" slack
     blocks = p.select(
@@ -152,8 +166,9 @@ def bm25_topk_wand(
         .groupBy("segment", "term")
         .agg(F.sort_array(F.collect_list("bi")).alias("bis"))
     )
-    n_blocks_total = blocks.filter(~F.col("segment").isin(seeds)).count()
-    n_blocks_kept = surviving.select(F.explode("bis")).count()
+    if return_stats:
+        n_blocks_total = blocks.filter(~F.col("segment").isin(seeds)).count()
+        n_blocks_kept = surviving.select(F.explode("bis")).count()
 
     # decode surviving blocks' doc_ids from the blob (value-range slice;
     # blocks are fixed-size value runs — indexer.DEFAULT_BLOCK_SIZE)
@@ -182,9 +197,9 @@ def bm25_topk_wand(
     # every t2 block was pruned).
     surv_segs = surviving.select("segment").distinct()
     resc = _exact(p.join(surv_segs, "segment"), cand)
-    final = top_k_df(seed_scores.unionByName(resc).groupBy("doc_id").agg(
-        F.max("score").alias("score")
-    ), k)
+    # seed segments are excluded from surv_segs, and a doc lives in
+    # exactly one segment — seed_topk and resc are disjoint, union only
+    final = top_k_df(seed_topk.unionByName(resc), k)
     if return_stats:
         return final, {
             "theta": theta,

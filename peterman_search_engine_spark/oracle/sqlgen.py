@@ -60,6 +60,25 @@ GROUP BY doc_id HAVING count(DISTINCT tok) = {len(set(terms))}
 ORDER BY doc_id"""
 
 
+def sql_keyword(keyword: str) -> str:
+    """Q1 searchQuery: analyze the keyword and AND the tokens — same
+    SQL as sql_and over the keyword's tokens (IIM:302-310)."""
+    return sql_and(keyword.split())
+
+
+def sql_doc_iterator() -> str:
+    """Q11 documentIterator: full corpus scan, text as the portable
+    56-bit md5 hash so the compared values stay compact."""
+    return f"""SELECT doc_id, {_md5l('text')} AS text_hash
+FROM documents ORDER BY doc_id"""
+
+
+def sql_full_scan(terms: list[str]) -> str:
+    """Q13 FullScanSearcher: by definition equivalent to the AND
+    search (docs whose token set contains all query tokens)."""
+    return sql_and(terms)
+
+
 def sql_or(terms: list[str]) -> str:
     inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     return f"""WITH {TOKS_CTE}

@@ -1,0 +1,136 @@
+"""Regression tests for the vectorized build path added for scaling:
+
+* ``tokenize_block`` (byte-level analyzer) parity with ``_analyze_py``
+  on real testdata, edge cases, and random ASCII fuzz;
+* ``delta_varint_encode_grouped`` byte-parity with the per-list codec;
+* ``postings_from_aligned_corpus`` (zero-shuffle mapInArrow build)
+  content-equality with the shuffled ``postings_from_corpus`` build.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from peterman_search_engine_spark.functions.analysis import (
+    _analyze_py,
+    tokenize_block,
+)
+from peterman_search_engine_spark.functions.codec import (
+    delta_varint_encode,
+    delta_varint_encode_grouped,
+)
+
+
+def _via_block(texts: list[str], stem: bool):
+    arr = pa.array(texts, pa.string())
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[: len(texts) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    tcodes, tinv, tdoc, pos, dlens = tokenize_block(data, offsets, stem=stem)
+    out: list[list] = [[] for _ in texts]
+    for c, d, p in zip(tinv, tdoc, pos):
+        out[d].append((p, tcodes[c]))
+    return [[t for _, t in sorted(l)] for l in out], list(dlens)
+
+
+def _check(texts: list[str], stem: bool) -> None:
+    got, dl = _via_block(texts, stem)
+    want = [_analyze_py(t, stem) for t in texts]
+    assert got == want
+    assert dl == [len(w) for w in want]
+
+
+@pytest.mark.parametrize("stem", [False, True])
+def test_tokenize_block_edges(stem):
+    _check(
+        [
+            "",
+            "   ",
+            "The the THE",
+            "a,b;c?d!e.f",
+            "hello",
+            "..!?",
+            "x" * 100,  # longer than the fixed-width cap
+            "supercalifragilisticexpialidocious again",  # > 32 chars
+            "The quick brown fox",
+        ],
+        stem,
+    )
+
+
+@pytest.mark.parametrize("stem", [False, True])
+def test_tokenize_block_fuzz(stem):
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + " ,.;?!\t\n" + string.digits
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200)))
+        for _ in range(300)
+    ]
+    _check(fuzz, stem)
+
+
+def test_tokenize_block_non_ascii_raises():
+    with pytest.raises(ValueError):
+        _via_block(["héllo wörld"], False)
+
+
+def test_grouped_varint_parity():
+    rng = np.random.default_rng(3)
+    lists = [
+        np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+        for n in (1, 2, 7, 128, 129, 1000)
+    ]
+    flat = np.concatenate(lists)
+    starts = np.concatenate(([0], np.cumsum([len(l) for l in lists])[:-1]))
+    buf, offs = delta_varint_encode_grouped(flat, starts)
+    assert len(offs) == len(lists) + 1
+    for i, l in enumerate(lists):
+        assert buf[offs[i]: offs[i + 1]].tobytes() == delta_varint_encode(l)
+
+
+def test_aligned_build_matches_shuffled(spark):
+    from peterman_search_engine_spark.operators.indexer import (
+        postings_from_aligned_corpus,
+        postings_from_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    a = postings_from_corpus(
+        docs, avg_len=20.0, stem=True, positional=True, docs_per_segment=100
+    )
+    b = postings_from_aligned_corpus(
+        docs.repartitionByRange(6, "doc_id"),
+        avg_len=20.0,
+        stem=True,
+        positional=True,
+    )
+
+    def canon(p):
+        return {
+            tuple(r)
+            for r in p.select(
+                "term",
+                F.explode(F.arrays_zip("doc_ids", "tfs", "positions")).alias("z"),
+            )
+            .select(
+                "term",
+                F.col("z.doc_ids"),
+                F.col("z.tfs"),
+                F.col("z.positions").cast("array<int>").cast("string"),
+            )
+            .collect()
+        }
+
+    assert canon(a) == canon(b)
