@@ -27,12 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    tier = os.environ.get("PSE_BENCH_TIER", "medium")
+    tier = os.environ.get("PSE_BENCH_TIER", "bench")
 
     from peterman_search_engine_spark.plans.session import get_spark
     from peterman_search_engine_spark.sources.transcripts import generate_transcripts
     from peterman_search_engine_spark.sources.adapters import corpus_from_transcripts
-    from peterman_search_engine_spark.operators.indexer import build_index
 
     import __spark_entry__ as entry
 
@@ -53,11 +52,30 @@ def main() -> None:
     n_turns = transcripts.count()
 
     def _build():
-        corpus = corpus_from_transcripts(transcripts)
-        idx = build_index(corpus, stem=True, positional=True, docs_per_segment=20_000)
-        # materialize the index end-to-end (postings + stats)
-        idx.postings.write.mode("overwrite").parquet("/tmp/pse_bench_postings")
-        return idx
+        from pyspark.sql import functions as F
+
+        from peterman_search_engine_spark.functions.analysis import tokens_expr
+        from peterman_search_engine_spark.operators.indexer import (
+            postings_from_aligned_corpus,
+        )
+
+        # docmap output is range-partitioned in doc_id order (the
+        # aligned-build invariant); checkpoint so the two passes below
+        # don't re-run the docmap exchange
+        corpus = corpus_from_transcripts(transcripts).localCheckpoint(eager=True)
+        doc_stats = corpus.select(
+            "doc_id", F.size(tokens_expr("text")).alias("doc_len")
+        )
+        doc_stats.write.mode("overwrite").parquet("/tmp/pse_bench_docstats")
+        ds = spark.read.parquet("/tmp/pse_bench_docstats")
+        avg = float(ds.agg(F.avg("doc_len")).collect()[0][0] or 0.0)
+        # zero-shuffle: segment = input partition (doc_id range)
+        postings_from_aligned_corpus(
+            corpus, avg_len=avg, stem=True, positional=True
+        ).write.mode("overwrite").parquet("/tmp/pse_bench_postings")
+        spark.read.parquet("/tmp/pse_bench_postings").groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        ).write.mode("overwrite").parquet("/tmp/pse_bench_termstats")
 
     timed("index_build", _build)
     turns_per_sec = round(n_turns / timings["index_build"], 2)

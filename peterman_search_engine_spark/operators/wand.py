@@ -72,23 +72,26 @@ def bm25_topk_wand(
         return (empty, {}) if return_stats else empty
     qtf = _qtf(toks)
 
-    # tiny collect 1: per-term idf (|query terms| rows)
-    st = index.term_stats.filter(F.col("term").isin(list(qtf))).collect()
+    # The ENTIRE pruned top-k is ONE lazy plan (single Spark job when
+    # return_stats is off): per-term idf, seed selection and the
+    # threshold θ are subplans (broadcast 1-to-few-row DataFrames),
+    # not driver collects — at any scale the only action is the final
+    # top-k itself.
     n = float(index.n_docs)
-    idf = {
-        r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for r in st
-    }
-    if not idf:
-        return (empty, {}) if return_stats else empty
-    wmap = {t: qtf[t] * idf[t] for t in idf}  # per-term constant weight
+    qdf = spark.createDataFrame(sorted(qtf.items()), "term string, qtf int")
+    idf_col = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    # query terms absent from the corpus drop out here — the
+    # reference's dictionary skip (IIM:617)
     wdf = F.broadcast(
-        spark.createDataFrame(
-            [(t, w) for t, w in sorted(wmap.items())], "term string, w double"
+        qdf.join(index.term_stats, "term").select(
+            "term", (F.col("qtf") * idf_col).alias("w")
         )
     )
 
-    p = index.postings.filter(F.col("term").isin(list(idf))).select(
+    p = index.postings.filter(F.col("term").isin(sorted(set(toks)))).select(
         "segment", "term", "doc_ids", "tfs", "blob", "block_starts", "block_ubs"
     )
 
@@ -102,11 +105,13 @@ def bm25_topk_wand(
     )
     seg_ub = seg_term_ub.groupBy("segment").agg(F.sum("t_ub").alias("seg_ub"))
 
-    # tiny collect 2: seed segment ids (highest UB first)
-    seeds = [
-        r["segment"]
-        for r in seg_ub.orderBy(F.desc("seg_ub")).limit(seed_segments).collect()
-    ]
+    # seed segments (highest UB first, deterministic tiebreak) as a
+    # broadcast subplan
+    seeds_df = F.broadcast(
+        seg_ub.orderBy(F.desc("seg_ub"), F.asc("segment"))
+        .limit(seed_segments)
+        .select("segment")
+    )
 
     def _exact(scoped: DataFrame, cand: DataFrame | None = None) -> DataFrame:
         hits = scoped.select(
@@ -128,23 +133,24 @@ def bm25_topk_wand(
             .agg(F.sum("_c").alias("score"))
         )
 
-    # tiny collect 3: the k best seed-segment scores (canonical
-    # (-score, doc_id) order so tie selection matches the final
-    # tiebreak); θ = the k-th. Docs live in exactly one segment, so a
-    # seed-segment doc outside this top-k is dominated by k better
-    # (score, doc_id) pairs and can never enter the global top-k —
-    # the collected rows therefore REPLACE the seed DataFrame in the
-    # final union (no recompute of seed scoring).
-    kth = (
-        _exact(p.filter(F.col("segment").isin(seeds)))
+    # the k best seed-segment scores in canonical (-score, doc_id)
+    # order. Docs live in exactly one segment, so a seed-segment doc
+    # outside this top-k is dominated by k better (score, doc_id)
+    # pairs and can never enter the global top-k — seed_topk therefore
+    # REPLACES the full seed scoring in the final union. θ = the k-th
+    # seed score (0 with fewer than k seeds), as a broadcast 1-row
+    # aggregate rather than a driver collect.
+    seed_topk = (
+        _exact(p.join(seeds_df, "segment"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
-        .collect()
     )
-    theta = float(kth[-1]["score"]) if len(kth) >= k else 0.0
-    seed_topk = spark.createDataFrame(
-        [(int(r["doc_id"]), float(r["score"])) for r in kth],
-        "doc_id long, score double",
+    theta_df = F.broadcast(
+        seed_topk.agg(
+            F.coalesce(
+                F.when(F.count("*") >= k, F.min("score")), F.lit(0.0)
+            ).alias("theta")
+        )
     )
 
     # block metadata rows + the "other terms at their segment max" slack
@@ -161,13 +167,16 @@ def bm25_topk_wand(
     surviving = (
         blocks.join(wdf, "term")
         .join(other, ["segment", "term"])
-        .filter(F.col("w") * F.col("bub") + F.col("others") >= F.lit(theta))
-        .filter(~F.col("segment").isin(seeds))
+        .crossJoin(theta_df)
+        .filter(F.col("w") * F.col("bub") + F.col("others") >= F.col("theta"))
+        .join(seeds_df, "segment", "left_anti")
         .groupBy("segment", "term")
         .agg(F.sort_array(F.collect_list("bi")).alias("bis"))
     )
     if return_stats:
-        n_blocks_total = blocks.filter(~F.col("segment").isin(seeds)).count()
+        seeds = [r["segment"] for r in seeds_df.collect()]
+        theta = float(theta_df.collect()[0]["theta"])
+        n_blocks_total = blocks.join(seeds_df, "segment", "left_anti").count()
         n_blocks_kept = surviving.select(F.explode("bis")).count()
 
     # decode surviving blocks' doc_ids from the blob (value-range slice;
