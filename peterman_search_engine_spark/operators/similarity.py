@@ -125,34 +125,37 @@ def embedding_neardup_pairs(
     self-join is per-bucket-local. Returns (vec_a, vec_b, cos_e6) for
     candidate pairs with round(cos*1e6) >= threshold_e6, vec_a < vec_b.
     """
-    buckets = lsh_buckets(
-        embeddings, dim=dim, num_planes=num_planes, id_col=id_col, vec_col=vec_col
-    )
+    # bucket rows CARRY their vector and its precomputed norm, so the
+    # same-bucket self-join directly yields everything the exact
+    # cosine needs: no join back to the embeddings table (at scale:
+    # one bucket-keyed shuffle instead of three), norms computed once
+    # per VECTOR instead of twice per PAIR, and only the pair dot
+    # product is evaluated per candidate. Repartition spreads the
+    # pair generation across tasks (a small parquet would otherwise
+    # run the whole quadratic-per-bucket join in one task).
+    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
+    buckets = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        _bucket_expr(F.col(vec_col), dim, num_planes).alias("bucket"),
+    ).repartition(nparts, "vec_id")
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = a.join(
+    scored = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
-        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-    )
-    ea = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
-    )
-    eb = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
-    )
-    scored = (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")) * 1_000_000)
-            .cast("long")
-            .alias("cos_e6"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            * 1_000_000
         )
+        .cast("long")
+        .alias("cos_e6"),
     )
     return scored.filter(F.col("cos_e6") >= threshold_e6).select(
         "vec_a", "vec_b", "cos_e6"
