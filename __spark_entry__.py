@@ -138,6 +138,70 @@ def q_tfidf(spark, sf):
     return _ranked_e6(Q.tfidf_scores(idx, TFIDF_TERMS), TOP_K)
 
 
+def q_streaming_bm25(spark, sf):
+    """Structured-Streaming-shaped incremental build (two micro-batch
+    ingests through the foreachBatch body) must be rank-identical to a
+    batch rebuild — same SQL oracle as bm25_topk. Dense doc_ids are
+    re-derived from the stable ordering, matching the table's own ids."""
+    import shutil
+    import tempfile
+
+    from peterman_search_engine_spark.operators import query as QQ
+    from peterman_search_engine_spark.streaming.incremental import (
+        ingest_batch,
+        load_streaming_index,
+    )
+
+    key = ("stream", id(spark), sf)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="pse_entry_stream_")
+        shutil.rmtree(d, ignore_errors=True)
+        docs = _docs(spark, sf).select(
+            F.format_string("c%09d", F.col("doc_id").cast("long")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "text",
+            F.col("doc_id").cast("long").alias("_id"),
+        )
+        mid = docs.agg(F.avg("_id")).collect()[0][0]
+        ingest_batch(
+            docs.filter(F.col("_id") < mid).drop("_id"), d, 0,
+            stem=False, docs_per_segment=200,
+        )
+        ingest_batch(
+            docs.filter(F.col("_id") >= mid).drop("_id"), d, 1,
+            stem=False, docs_per_segment=200,
+        )
+        idx = load_streaming_index(spark, d)
+        idx.postings = idx.postings.localCheckpoint(eager=True)
+        idx.doc_stats = idx.doc_stats.localCheckpoint(eager=True)
+        idx.term_stats = idx.term_stats.localCheckpoint(eager=True)
+        _INDEX_CACHE[key] = idx
+    return _ranked_e6(Q.bm25_scores(_INDEX_CACHE[key], BM25_TERMS), TOP_K)
+
+
+def q_wordbreak(spark, sf):
+    """A6 word-break DP tokenizer, distributed: analyzed tokens
+    restricted to the demo dictionary are concatenated space-free per
+    doc and segmented back by the DP. No SQL oracle (DP segmentation
+    is not expressible in portable SQL) — the driver records the
+    rows-only check; exact semantics are golden-tested in
+    tests/test_wordbreak.py."""
+    from peterman_search_engine_spark.functions.wordbreak import (
+        DEMO_FREQ,
+        word_break_udf,
+    )
+
+    dict_words = sorted(DEMO_FREQ)
+    toks = F.filter(tokens_expr("text"), lambda t: t.isin(*dict_words))
+    joined = _corpus(spark, sf).select(
+        "doc_id", F.concat_ws("", toks).alias("glued")
+    ).filter(F.length("glued") > 0)
+    return joined.select(
+        "doc_id",
+        F.posexplode(word_break_udf()(F.col("glued"))).alias("pos", "term"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+
+
 def q_bm25_wand(spark, sf):
     """Block-max WAND pruned BM25 — must equal the exhaustive plan
     (same oracle SQL as bm25_topk)."""
@@ -370,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase,
         "bm25_topk": q_bm25,
         "bm25_wand_topk": q_bm25_wand,
+        "streaming_bm25_topk": q_streaming_bm25,
+        "wordbreak_tokens": q_wordbreak,
         "tfidf_topk": q_tfidf,
         "term_stats": q_term_stats,
         "merged_postings": q_merged_postings,
@@ -405,6 +471,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         "bm25_wand_topk": S.sql_bm25(BM25_TERMS, TOP_K),
+        # streaming incremental build is rank-identical to batch: same
+        # oracle as bm25_topk. (wordbreak_tokens intentionally has no
+        # oracle: DP segmentation is not expressible in portable SQL.)
+        "streaming_bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         "tfidf_topk": S.sql_tfidf(TFIDF_TERMS, TOP_K),
         "term_stats": S.sql_term_stats(50),
         "merged_postings": S.sql_postings(POSTING_TERMS),

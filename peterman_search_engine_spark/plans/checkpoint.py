@@ -41,8 +41,7 @@ from pyspark.sql import functions as F
 from ..operators.indexer import (
     DEFAULT_BLOCK_SIZE,
     InvertedIndex,
-    postings_from_tokens,
-    tokenize_corpus,
+    postings_from_corpus,
 )
 
 
@@ -78,8 +77,9 @@ def build_index_checkpointed(
     Returns the build report: {"groups_total", "groups_built",
     "groups_skipped", "manifest"}. Call :func:`load_index` afterwards.
 
-    The per-group build is the same two-shuffle dataflow as
-    ``indexer.build_index`` restricted to the group's doc_id range —
+    The per-group build is the fused one-shuffle dataflow
+    (``indexer.postings_from_corpus``) restricted to the group's
+    doc_id range —
     Parquet row-group pruning / partition pruning keeps the rescan of
     the input cheap, and at cluster scale each group is an independent
     job whose failure loses only that group.
@@ -88,9 +88,14 @@ def build_index_checkpointed(
     os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
 
     stats_path = os.path.join(index_dir, "stats.json")
-    toks = tokenize_corpus(corpus, stem=stem)
     if not os.path.exists(stats_path):
-        doc_stats = toks.select("doc_id", F.size("tokens").alias("doc_len"))
+        # stemming never changes token counts, so doc lengths come from
+        # the pure-JVM tokenizer expression (codegen, zero Python)
+        from ..functions.analysis import tokens_expr
+
+        doc_stats = corpus.select(
+            "doc_id", F.size(tokens_expr("text")).alias("doc_len")
+        )
         doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
         doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         row = doc_stats.agg(
@@ -125,10 +130,11 @@ def build_index_checkpointed(
             continue
         t0 = time.perf_counter()
         lo, hi = g * docs_per_group, (g + 1) * docs_per_group
-        part = toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        sp = postings_from_tokens(
+        part = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        sp = postings_from_corpus(
             part,
             avg_len=stats["avg_len"],
+            stem=stats["stem"],
             positional=positional,
             docs_per_segment=stats["docs_per_segment"],
             block_size=block_size,
