@@ -18,9 +18,10 @@ Reference semantics (cited into /root/reference/):
 Two execution strategies:
 
 * ``tokens_expr`` / ``analyze_expr`` — pure Column expressions
-  (split/lower/filter/transform). These stay inside whole-stage
-  codegen on the JVM: zero Python in the hot path. Used whenever
-  stemming is not required (stemming cannot be expressed in builtins).
+  (split/lower/filter/transform). These run entirely JVM-side
+  (columnar scan, InSet stop-word probes): zero Python in the hot
+  path. Used whenever stemming is not required (stemming cannot be
+  expressed in builtins).
 * ``analyze_udf`` — ONE fused Arrow-vectorized pandas UDF
   (tokenize + stop-filter + Porter stem in a single pass over each
   Arrow batch). Per-row Python is never used (input_hint mandate).
@@ -56,7 +57,7 @@ def _stop_array() -> Column:
 def tokens_expr(text: Column | str, *, keep_stopwords: bool = False) -> Column:
     """A1/A2 as a pure Column expression: lowercase, split on the
     reference punctuation set, drop empties (and stop words unless
-    ``keep_stopwords``). Runs entirely JVM-side (codegen)."""
+    ``keep_stopwords``). Runs entirely JVM-side."""
     col = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(col), TOKEN_SPLIT_RE)
     toks = F.filter(toks, lambda t: t != F.lit(""))

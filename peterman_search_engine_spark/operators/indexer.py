@@ -147,7 +147,7 @@ class InvertedIndex:
 def tokenize_corpus(corpus: DataFrame, *, stem: bool = True) -> DataFrame:
     """corpus(doc_id, text) -> (doc_id, tokens array<string>).
     stem=True: fused Arrow UDF (A4). stem=False: pure JVM expressions
-    (A1) — whole-stage codegen, zero Python."""
+    (A1) — JVM-side columnar scan, zero Python."""
     if stem:
         tok = analyze_udf(stem=True)(F.col("text"))
     else:
@@ -674,7 +674,7 @@ def build_index(
     Pass 1 (stats): doc_len per doc via the PURE-JVM tokenizer
     expression — stemming never changes token counts, so the count of
     the A1-filtered list equals the analyzed length; zero Python,
-    whole-stage codegen. Pass 2 (postings): the fused per-segment
+    JVM-side. Pass 2 (postings): the fused per-segment
     applyInPandas (``postings_from_corpus``).
     """
     doc_stats = corpus.select(
