@@ -21,7 +21,14 @@ from __future__ import annotations
 
 import numpy as np
 
-_THRESHOLDS = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28], dtype=np.int64)
+# 1..9 bytes: full non-negative int64 range. The reference only ever
+# encodes Java ints (<= 5 bytes, DeltaVarLenCompressor.java:48-57) and
+# the byte format below is identical over that range; the extra
+# thresholds matter at 10^12-turn scale, where the FIRST delta of a
+# posting list is an absolute doc_id that can exceed 2^35 — a 5-byte
+# cap would silently corrupt it (caught by the hypothesis roundtrip
+# property in tests/test_skew_and_codec_props.py).
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 9)], dtype=np.int64)
 
 
 def _varint_nbytes(vals: np.ndarray) -> np.ndarray:

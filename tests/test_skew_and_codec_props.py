@@ -1,0 +1,85 @@
+"""Skew-boundedness and codec property tests.
+
+North-rule skew requirement: a stop-word-grade hot term (present in
+~every turn) must never concentrate on one reducer. The design bound:
+posting rows are per (segment, term) with segment = a doc_id range of
+at most ``docs_per_segment`` docs, so ANY term's largest posting list
+is capped at docs_per_segment entries regardless of its global
+frequency — the segment id is a built-in salt.
+
+Codec: hypothesis roundtrip over arbitrary sorted non-negative int64
+lists (delta+varint encode/decode are inverses; grouped encode agrees
+with per-list encode byte-for-byte).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from peterman_search_engine_spark.functions.codec import (
+    delta_varint_decode,
+    delta_varint_encode,
+    delta_varint_encode_grouped,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_codec_roundtrip_property(vals):
+    vals = sorted(vals)
+    blob = delta_varint_encode(np.array(vals, dtype=np.int64))
+    assert list(delta_varint_decode(blob)) == vals
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**32), min_size=1, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_grouped_encode_matches_per_list_property(lists):
+    lists = [sorted(l) for l in lists]
+    flat = np.concatenate([np.array(l, dtype=np.int64) for l in lists])
+    starts = np.concatenate(
+        ([0], np.cumsum([len(l) for l in lists])[:-1])
+    ).astype(np.int64)
+    buf, offs = delta_varint_encode_grouped(flat, starts)
+    for i, l in enumerate(lists):
+        assert (
+            buf[offs[i]: offs[i + 1]].tobytes()
+            == delta_varint_encode(np.array(l, dtype=np.int64))
+        )
+
+
+def test_hot_term_posting_rows_are_bounded(spark):
+    """A term occurring in EVERY doc still yields posting rows of at
+    most docs_per_segment entries each — the skew cap the 10^12-turn
+    design relies on (no single reducer ever sees a full global
+    posting list)."""
+    from peterman_search_engine_spark.operators.indexer import build_index
+
+    dps = 50
+    n = 600
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # 'hotterm' in every doc + a per-doc unique token
+        F.concat(F.lit("hotterm filler"), F.col("id").cast("string")).alias("text"),
+    )
+    idx = build_index(docs, stem=False, positional=False, docs_per_segment=dps)
+    rows = (
+        idx.postings.filter(F.col("term") == "hotterm")
+        .select("segment", F.size("doc_ids").alias("n"))
+        .collect()
+    )
+    assert len(rows) == n // dps  # one bounded row per segment
+    assert all(r["n"] <= dps for r in rows)
+    assert sum(r["n"] for r in rows) == n  # nothing lost
+    # distinct segments -> the hot term's work spread over all groups
+    assert len({r["segment"] for r in rows}) == n // dps
