@@ -83,3 +83,40 @@ def test_hot_term_posting_rows_are_bounded(spark):
     assert sum(r["n"] for r in rows) == n  # nothing lost
     # distinct segments -> the hot term's work spread over all groups
     assert len({r["segment"] for r in rows}) == n // dps
+
+
+def test_dense_doc_ids_property(spark):
+    """docmap invariant: dense 0..n-1 ids in (conv_id, turn_idx)
+    order, regardless of input partitioning/ordering — and the output
+    partitions are disjoint doc_id ranges (the aligned-build
+    precondition)."""
+    import random
+
+    from peterman_search_engine_spark.sources.adapters import (
+        assign_dense_doc_ids,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"c{rng.randrange(40):03d}", t, f"text {i}")
+        for i, t in enumerate(rng.sample(range(10_000), 300))
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = assign_dense_doc_ids(df.repartition(7), ["conv_id", "turn_idx"])
+    got = [
+        (r["conv_id"], r["turn_idx"], r["doc_id"])
+        for r in out.select("conv_id", "turn_idx", "doc_id").collect()
+    ]
+    want_order = sorted({(c, t) for c, t, _ in rows})
+    want = {(c, t): i for i, (c, t) in enumerate(want_order)}
+    assert len(got) == len(rows)
+    for c, t, d in got:
+        assert want[(c, t)] == d
+    # partitions are disjoint doc_id ranges
+    pid_rows = out.select(
+        F.spark_partition_id().alias("p"), "doc_id"
+    ).groupBy("p").agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    spans = sorted((r["lo"], r["hi"]) for r in pid_rows.collect())
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2
