@@ -395,6 +395,62 @@ def q_events_window(spark, sf):
     )
 
 
+def q_streaming_events_hourly(spark, sf):
+    """True Structured Streaming path: readStream over the events
+    parquet -> 10-minute watermark -> tumbling 1h event-time window ->
+    stateful count/sum -> availableNow trigger draining to a memory
+    sink. With a static input the watermark drops nothing, so the
+    result must equal the batch hourly aggregation — same SQL oracle
+    as events_hourly."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(f"{sf}/events.parquet")
+    # the file stream source requires a DIRECTORY; stage the single
+    # parquet file behind a symlink dir
+    src_dir = tempfile.mkdtemp(prefix="pse_stream_events_src_")
+    os.symlink(f"{sf}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # watermarks require TIMESTAMP (the parquet column is NTZ; with the
+    # session in UTC the cast is wall-clock identity)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _e6(F.sum("value")).alias("sum_value_e6"),
+        )
+    )
+    name = "pse_stream_events_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="pse_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.floor(F.unix_timestamp(F.col("window.start")) / 3600)
+        .cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        "sum_value_e6",
+    )
+
+
 PR_WEIGHT = 0.5
 
 
@@ -435,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "bm25_wand_topk": q_bm25_wand,
         "streaming_bm25_topk": q_streaming_bm25,
+        "streaming_events_hourly": q_streaming_events_hourly,
         "wordbreak_tokens": q_wordbreak,
         "tfidf_topk": q_tfidf,
         "term_stats": q_term_stats,
@@ -475,6 +532,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle as bm25_topk. (wordbreak_tokens intentionally has no
         # oracle: DP segmentation is not expressible in portable SQL.)
         "streaming_bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
+        # watermarked windowed streaming agg over a static input drops
+        # nothing: identical to the batch hourly rollup
+        "streaming_events_hourly": S.sql_events_window(),
         "tfidf_topk": S.sql_tfidf(TFIDF_TERMS, TOP_K),
         "term_stats": S.sql_term_stats(50),
         "merged_postings": S.sql_postings(POSTING_TERMS),
