@@ -89,7 +89,8 @@ def main() -> None:
         "dedup_lsh_pairs", "dedup_simhash", "dedup_embedding",
         "ann_cosine_topk", "ann_lsh_topk",
         "text_token_counts", "text_quality", "text_lang_id",
-        "text_fingerprint", "events_hourly", "pagerank",
+        "text_fingerprint", "events_hourly", "streaming_events_hourly",
+        "streaming_bm25_topk", "pagerank",
     ]
     # index-build for the driver tables happens inside the first query;
     # time it separately so per-query numbers reflect query cost.
