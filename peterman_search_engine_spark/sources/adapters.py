@@ -45,6 +45,11 @@ def assign_dense_doc_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
     partitioner; no stage ever sees more than one partition of data.
     """
     ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    # NOTE: the per-partition counts below are an eager collect, and
+    # downstream actions re-run the range exchange — callers that scan
+    # the result more than once should checkpoint/persist it (bench
+    # and the build jobs do); an unconditional checkpoint here costs
+    # more than the recompute for single-scan callers.
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     # Tiny aggregate: one row per partition.
     counts = {
