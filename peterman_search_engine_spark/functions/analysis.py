@@ -17,7 +17,7 @@ Reference semantics (cited into /root/reference/):
 
 Two execution strategies:
 
-* ``tokens_expr`` / ``analyze_expr`` — pure Column expressions
+* ``tokens_expr`` — pure Column expressions
   (split/lower/filter/transform). These run entirely JVM-side
   (columnar scan, InSet stop-word probes): zero Python in the hot
   path. Used whenever stemming is not required (stemming cannot be
