@@ -347,6 +347,22 @@ def q_dedup_embedding(spark, sf):
     )
 
 
+def q_ann_ivf(spark, sf):
+    """IVF ANN: deterministic 16-centroid codebook, probe the 2 best
+    cells, exact cosine within — the second scale path next to LSH."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _query_vec(spark, sf)
+    scored = SIM.ivf_topk(
+        emb, qv, k=TOP_K, n_cells=16, n_probe=2, exclude_ids=[0]
+    )
+    return (
+        scored.withColumn("cos_e6", _e6(F.col("cos")))
+        .select("vec_id", "cos_e6")
+        .orderBy(F.desc("cos_e6"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_token_counts(spark, sf):
     return _corpus(spark, sf).select(
         "doc_id",
@@ -507,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "text_token_counts": q_token_counts,
         "text_quality": q_quality,
         "text_lang_id": q_lang_id,
@@ -549,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": S.sql_embedding_neardup(),
         "ann_cosine_topk": S.sql_ann_cosine(TOP_K),
         "ann_lsh_topk": S.sql_ann_lsh(TOP_K),
+        "ann_ivf_topk": S.sql_ann_ivf(TOP_K),
         "text_token_counts": S.sql_token_counts(),
         "text_quality": S.sql_quality(),
         "text_lang_id": S.sql_lang_id(),

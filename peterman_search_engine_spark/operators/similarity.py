@@ -186,3 +186,115 @@ def lsh_bucketed_topk(
     return cosine_topk(
         with_b, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_ids=exclude_ids
     )
+
+
+def ivf_cells(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer with a deterministic codebook: centroid c
+    is the corpus vector with id c (c < n_cells) — no RNG, so engine
+    and SQL oracle agree exactly. Cell = argmax e6-rounded cosine to a
+    centroid, ties to the LOWEST centroid id. Returns (vec_id, cell).
+
+    At 100 TB the cell id is the partition key of the vector table
+    (write bucketed by cell); assignment is one broadcast join of the
+    K-row codebook — embarrassingly parallel, no shuffle of vectors.
+    """
+    cents = F.broadcast(
+        embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("cnorm"),
+        )
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .crossJoin(cents)
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                _dot(F.col("vec"), F.col("cvec"))
+                / (F.col("nrm") * F.col("cnorm"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    # argmax with lowest-cid tiebreak: max(struct(cos, -cid))
+    return scored.groupBy("vec_id").agg(
+        (-F.max(F.struct(F.col("cos_e6"), (-F.col("cid")).alias("ncid"))).getField(
+            "ncid"
+        )).alias("cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF probe: rank cells by centroid-to-query cosine (driver-side
+    over the K-row codebook), scan the best ``n_probe`` cells only,
+    exact cosine top-k within them. Returns (vec_id, cos double)
+    ordered by (-cos, vec_id)."""
+    import numpy as np
+
+    cents = (
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col))
+        .collect()
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def _round_half_away(x: float) -> int:
+        # match Spark F.round / SQL ROUND (half away from zero), NOT
+        # Python's banker's rounding
+        import math
+
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    ranked = sorted(
+        (
+            (
+                -_round_half_away(
+                    1_000_000
+                    * float(np.dot(np.asarray(r[vec_col], dtype=np.float64), q))
+                    / (float(np.linalg.norm(np.asarray(r[vec_col], dtype=np.float64))) * qn)
+                ),
+                r["cid"],
+            )
+            for r in cents
+        )
+    )
+    probed = [cid for _, cid in ranked[:n_probe]]
+    cells = ivf_cells(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    cand = cells.filter(F.col("cell").isin(probed)).select("vec_id")
+    if exclude_ids:
+        cand = cand.filter(~F.col("vec_id").isin(exclude_ids))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            cosine(F.col(vec_col), qcol).alias("cos"),
+        )
+        .join(cand, "vec_id")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -508,3 +508,50 @@ def sql_pagerank(iterations: int = 10, damping: float = 0.85) -> str:
 SELECT node, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6
 FROM pr{iterations} ORDER BY node"""
     )
+
+
+def sql_ann_ivf(
+    k: int, n_cells: int = 16, n_probe: int = 2, query_id: int = 0
+) -> str:
+    """IVF ANN: deterministic codebook (centroid c = vector with id c),
+    cell = argmax e6-rounded cosine (ties to lowest cid), probe the
+    n_probe cells closest to the query, exact cosine top-k within."""
+    return f"""WITH {EMB_DOT},
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM embu GROUP BY 1),
+cents AS (SELECT vec_id AS cid, i, x FROM embu WHERE vec_id < {n_cells}),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         CAST(ROUND(1000000 * sum(e.x * c.x) / (nv.n * nc.n)) AS BIGINT) AS cos_e6
+  FROM embu e
+  JOIN cents c ON c.i = e.i
+  JOIN norms nv ON nv.vec_id = e.vec_id
+  JOIN norms nc ON nc.vec_id = c.cid
+  GROUP BY 1, 2, nv.n, nc.n
+),
+cells AS (
+  SELECT vec_id, cid AS cell
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_e6 DESC, cid ASC) AS rn
+        FROM asg) t
+  WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM asg WHERE vec_id = {query_id}
+  ORDER BY cos_e6 DESC, cid ASC LIMIT {n_probe}
+),
+q AS (SELECT i, x AS qx FROM embu WHERE vec_id = {query_id}),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qnorm FROM q),
+cand AS (
+  SELECT c.vec_id FROM cells c JOIN probe p ON c.cell = p.cid
+  WHERE c.vec_id <> {query_id}
+),
+dots AS (
+  SELECT e.vec_id, sum(e.x * q.qx) AS dot
+  FROM embu e JOIN q USING (i) JOIN cand USING (vec_id)
+  GROUP BY e.vec_id
+)
+SELECT d.vec_id,
+       CAST(ROUND(1000000 * d.dot / (nv.n * qn.qnorm)) AS BIGINT) AS cos_e6
+FROM dots d JOIN norms nv ON nv.vec_id = d.vec_id, qn
+ORDER BY cos_e6 DESC, d.vec_id LIMIT {k}"""
