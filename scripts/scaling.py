@@ -221,6 +221,17 @@ def main() -> None:
             "  per-core throughput of the memory-heavy analyzer drops\n"
             "  ~2x as active cores go 8 -> 32;\n"
             "- the identical Spark job pinned 8 -> 32 cores: ~0.45.\n\n"
+            "For completeness, the driver-suggested unpinned local[8]\n"
+            "vs local[32] pair was also measured repeatedly on the\n"
+            "same 6M-turn input (same job, same dps): best observed\n"
+            "local[8] = 86.3k turns/s, best observed local[32] =\n"
+            "240.8k turns/s (33s wall) — ratio 2.8x / efficiency 0.70\n"
+            "at best, with heavy run-to-run variance (the box shows\n"
+            "multi-minute phases where >8-core throughput halves while\n"
+            "<=8-core legs are unaffected; CPU steal reads 0, pointing\n"
+            "at hypervisor-level memory-bandwidth contention). The\n"
+            "pinned small-N protocol above removes both the idle-core\n"
+            "borrowing and most of that variance.\n\n"
             "The 8 -> 32 drop is shared-socket saturation (L3 + memory\n"
             "bandwidth), which a real 4x-node cluster does not have —\n"
             "every added node brings its own socket, cache and memory\n"
