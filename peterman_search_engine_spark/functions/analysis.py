@@ -35,7 +35,6 @@ positions.
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import pandas as pd
@@ -115,58 +114,10 @@ def analyze_query(terms: list[str], *, stem: bool = True) -> list[str]:
 # A6/A7 — DP word-break tokenizer (optional analyzers in the reference)
 # ---------------------------------------------------------------------------
 
-def word_break(text: str, freq_dict: dict[str, float]) -> list[str]:
-    """DP segmentation maximizing sum(log p(token)) over a frequency
-    dictionary; raises ValueError if the text cannot be segmented
-    (``WordBreakTokenizer.java:108-141``). Stop words are removed
-    AFTER the split (``:152-154``). ``freq_dict`` maps word ->
-    probability (or raw frequency; only relative order matters)."""
-    s = text.lower().strip()
-    if not s:
-        return []
-    total = sum(freq_dict.values())
-    logp = {w: math.log(f / total) for w, f in freq_dict.items()}
-    n = len(s)
-    max_word = max((len(w) for w in freq_dict), default=0)
-    # best[i] = (score, split_point) for s[:i]
-    NEG = float("-inf")
-    best = [NEG] * (n + 1)
-    back = [-1] * (n + 1)
-    best[0] = 0.0
-    for i in range(1, n + 1):
-        for j in range(max(0, i - max_word), i):
-            if best[j] == NEG:
-                continue
-            w = s[j:i]
-            lp = logp.get(w)
-            if lp is None:
-                continue
-            sc = best[j] + lp
-            if sc > best[i]:
-                best[i] = sc
-                back[i] = j
-    if best[n] == NEG:
-        raise ValueError(f"text cannot be word-broken: {text!r}")
-    toks: list[str] = []
-    i = n
-    while i > 0:
-        j = back[i]
-        toks.append(s[j:i])
-        i = j
-    toks.reverse()
-    return [t for t in toks if t not in STOP_WORDS]
-
-
-def word_break_udf(freq_dict: dict[str, float]):
-    """A6/A7 as an Arrow UDF; the dictionary is captured in the closure
-    and shipped once per executor (broadcast-by-closure)."""
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def _wb(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in batch_iter:
-            yield s.map(lambda t: word_break(t, freq_dict) if t is not None else None)
-
-    return _wb
+# Canonical implementations live in functions/wordbreak.py; re-exported
+# here so the analyzer module presents the full A1-A7 surface without a
+# second (drift-prone) copy of the DP.
+from .wordbreak import word_break, word_break_udf  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
