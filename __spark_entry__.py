@@ -399,6 +399,22 @@ def q_multimodal(spark, sf):
     return extract_features(media)
 
 
+def q_multimodal_frames(spark, sf):
+    """Video frame-sampling plumbing (one row -> many frame rows via
+    mapInPandas), verified by accounting: per-doc frame count and total
+    frame bytes reconstruct the payload size."""
+    from peterman_search_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    frames = sample_frames(attach_fake_media(_corpus(spark, sf)), every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_bytes"),
+    )
+
+
 def q_events_window(spark, sf):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -528,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal,
         "events_hourly": q_events_window,
         "pagerank": q_pagerank,
@@ -571,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": S.sql_quality(),
         "text_lang_id": S.sql_lang_id(),
         "text_fingerprint": S.sql_fingerprint(),
+        "multimodal_frames": S.sql_multimodal_frames(),
         "multimodal_features": S.sql_multimodal(),
         "events_hourly": S.sql_events_window(),
         "pagerank": S.sql_pagerank(PR_ITERS),

@@ -105,3 +105,46 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         )
 
     return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
+    """Video frame sampling plumbing: one input row -> many frame rows
+    via mapInPandas (the production shape for ffmpeg-style samplers).
+    The sampler kernel is a deterministic fake — each "frame" is a
+    fixed-stride byte slice of the payload — so the one-to-many Arrow
+    batch flow, schema, and ordering are exercised end-to-end with no
+    media libraries; swap ``_slice_frames`` for a real decoder (e.g.
+    pyav) in production."""
+
+    def _slice_frames(payload: bytes) -> list[bytes]:
+        return [
+            payload[o: o + every_n_bytes]
+            for o in range(0, len(payload), every_n_bytes)
+        ]
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(_slice_frames(bytes(payload))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(_sample, FRAME_SCHEMA)

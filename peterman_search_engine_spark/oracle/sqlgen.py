@@ -555,3 +555,13 @@ SELECT d.vec_id,
        CAST(ROUND(1000000 * d.dot / (nv.n * qn.qnorm)) AS BIGINT) AS cos_e6
 FROM dots d JOIN norms nv ON nv.vec_id = d.vec_id, qn
 ORDER BY cos_e6 DESC, d.vec_id LIMIT {k}"""
+
+
+def sql_multimodal_frames(every_n_bytes: int = 64) -> str:
+    """Frame-sampling accounting: frames are fixed-stride byte slices
+    of the UTF-8 payload, so per doc n_frames = ceil(bytes/stride) and
+    the frame bytes sum back to the payload length."""
+    return f"""SELECT doc_id,
+  CAST(CEIL(strlen(text) / {float(every_n_bytes)}) AS BIGINT) AS n_frames,
+  CAST(strlen(text) AS BIGINT) AS total_bytes
+FROM documents WHERE strlen(text) > 0 ORDER BY doc_id"""

@@ -95,3 +95,25 @@ def test_word_break():
     with pytest.raises(ValueError):
         word_break("xyzzy", freq)
     assert word_break("", freq) == []
+
+
+def test_multimodal_frame_sampling(spark):
+    """One-to-many mapInPandas plumbing: payloads split into
+    fixed-stride frames, order and bytes preserved."""
+    from pyspark.sql import functions as F
+
+    from peterman_search_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a" * 100), (1, "b" * 10)], "doc_id long, text string"
+    )
+    frames = sample_frames(attach_fake_media(docs), every_n_bytes=32).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    assert [i for i, _ in sorted(by_doc[0])] == [0, 1, 2, 3]
+    assert b"".join(f for _, f in sorted(by_doc[0])) == b"a" * 100
+    assert b"".join(f for _, f in sorted(by_doc[1])) == b"b" * 10
