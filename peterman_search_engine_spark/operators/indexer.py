@@ -534,26 +534,54 @@ def _build_group(
     """Build every posting row of one segment group in numpy:
     tokenize + stop-filter + stem + lexsort + run-length boundaries +
     varint encode + per-block BM25 upper bounds. ``pdf`` must carry
-    (segment, doc_id, text) with a single segment value."""
-    from ..functions.analysis import _analyze_py
+    (segment, doc_id, text) with a single segment value. Analysis runs
+    through the vectorized byte tokenizer (same as the mapInArrow
+    path); non-ASCII batches fall back to the per-string analyzer."""
+    from ..functions.analysis import _analyze_py, tokenize_block
 
     if len(pdf) == 0:
         return pd.DataFrame({f.name: [] for f in schema.fields})
     seg = int(pdf["segment"].iloc[0])
-    toks_list = [_analyze_py(t or "", stem) for t in pdf["text"]]
-    counts = np.fromiter((len(t) for t in toks_list), np.int64, len(toks_list))
-    total = int(counts.sum())
-    if total == 0:
-        return pd.DataFrame({f.name: [] for f in schema.fields})
-    docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
-    dlens = np.repeat(counts.astype(np.float64), counts)
-    # per-doc position = global index minus the doc's start offset
-    starts_rep = np.repeat(np.cumsum(counts) - counts, counts)
-    poss = (np.arange(total) - starts_rep).astype(np.int32)
-    terms = np.array(
-        [tok for toks in toks_list for tok in toks], dtype=object
-    )
-    tcodes, tinv = np.unique(terms, return_inverse=True)
+    doc_ids_np = pd.to_numeric(pdf["doc_id"]).to_numpy(np.int64)
+    tok = None
+    try:
+        arr = pa.array(
+            pdf["text"].map(lambda t: t if t is not None else ""), pa.string()
+        )
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[: len(arr) + 1]
+        dat = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        tok = tokenize_block(dat, offs, stem=stem)
+    except ValueError:
+        tok = None
+    if tok is not None:
+        tcodes, tinv, tdoc, poss, dl = tok
+        total = len(tinv)
+        if total == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        docs = doc_ids_np[tdoc]
+        dlens = dl.astype(np.float64)[tdoc]
+    else:
+        toks_list = [_analyze_py(t or "", stem) for t in pdf["text"]]
+        counts = np.fromiter(
+            (len(t) for t in toks_list), np.int64, len(toks_list)
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        docs = np.repeat(doc_ids_np, counts)
+        dlens = np.repeat(counts.astype(np.float64), counts)
+        # per-doc position = global index minus the doc's start offset
+        starts_rep = np.repeat(np.cumsum(counts) - counts, counts)
+        poss = (np.arange(total) - starts_rep).astype(np.int32)
+        terms = np.array(
+            [tok_ for toks in toks_list for tok_ in toks], dtype=object
+        )
+        tcodes, tinv = np.unique(terms, return_inverse=True)
     order = np.lexsort((poss, docs, tinv))
     tinv, docs, poss, dlens = tinv[order], docs[order], poss[order], dlens[order]
     pair_change = np.empty(total, dtype=bool)
