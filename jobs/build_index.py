@@ -128,6 +128,18 @@ def main() -> None:
             "overwrite"
         ).parquet(os.path.join(args.output, "term_stats"))
         phases["term_stats"] = round(time.perf_counter() - tp, 2)
+        # 4. per-partition lineage metrics from the DURABLE output
+        # (north-rule auditability): one row per segment with record
+        # counts and byte sizes, queryable as a table
+        spark.read.parquet(os.path.join(args.output, "postings")).groupBy(
+            "segment"
+        ).agg(
+            F.count("*").alias("posting_rows"),
+            F.sum("df").alias("posting_entries"),
+            F.sum(F.length("blob")).alias("blob_bytes"),
+            F.min(F.element_at("doc_ids", 1)).alias("doc_id_lo"),
+            F.max(F.element_at("doc_ids", -1)).alias("doc_id_hi"),
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "_metrics"))
         wall = time.perf_counter() - t0
         out = {"mode": "one-shot", "phases": phases}
     else:
