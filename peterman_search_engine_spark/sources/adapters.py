@@ -74,3 +74,21 @@ def assign_dense_doc_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
         .withColumn("doc_id", (base_col + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn")
     )
+
+
+def corpus_from_files_dir(spark, path: str) -> DataFrame:
+    """B11 ``IcsSearchEngine.writeIndex`` parity: ingest a directory of
+    plain-text document files where the NUMERIC FILE NAME is the
+    document id (``IcsSearchEngine.java:43-57``; ordering comparator
+    ``:170-191`` sorts names numerically). doc_id = int(filename), one
+    document per file, whole file contents as the text field."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("text").option("wholetext", "true").load(
+        path + "/*"
+    ).withColumn("_file", F.input_file_name())
+    name = F.element_at(F.split(F.col("_file"), "/"), -1)
+    return df.select(
+        F.regexp_extract(name, r"(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("value").alias("text"),
+    ).filter(F.col("doc_id").isNotNull())

@@ -35,3 +35,20 @@ def generate_edges_py(n_nodes: int) -> list[tuple[int, int]]:
         if d % 5 == 0 and d != 0:
             edges.add((d, 0))
     return sorted(edges)
+
+
+def read_id_graph(spark: SparkSession, path: str) -> DataFrame:
+    """Q14 input parity: read the reference's ``id-graph.tsv`` format —
+    whitespace-separated ``src dst`` int pairs, one edge per line
+    (``IcsSearchEngine.java:67-82``). Malformed/blank lines are
+    dropped, matching the reference's silent skip of short lines."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        lines.filter(F.size(parts) >= 2)
+        .select(
+            F.element_at(parts, 1).cast("int").alias("src"),
+            F.element_at(parts, 2).cast("int").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )

@@ -117,3 +117,38 @@ def test_multimodal_frame_sampling(spark):
     assert [i for i, _ in sorted(by_doc[0])] == [0, 1, 2, 3]
     assert b"".join(f for _, f in sorted(by_doc[0])) == b"a" * 100
     assert b"".join(f for _, f in sorted(by_doc[1])) == b"b" * 10
+
+
+def test_reference_input_readers(spark, tmp_path):
+    """B11 directory-of-numeric-files ingest and the id-graph.tsv
+    reader (IcsSearchEngine.java:43-57, 67-82)."""
+    from peterman_search_engine_spark.sources.adapters import (
+        corpus_from_files_dir,
+    )
+    from peterman_search_engine_spark.sources.graph import read_id_graph
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i, t in [
+        (0, "hello spark world"),
+        (3, "merge the tables"),
+        (10, "vector stream data"),
+    ]:
+        (d / str(i)).write_text(t)
+    g = tmp_path / "id-graph.tsv"
+    g.write_text("0 3\n3 10\n\n10 0\nbad\n0 10\n")
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in corpus_from_files_dir(spark, str(d)).collect()
+    }
+    assert docs == {
+        0: "hello spark world",
+        3: "merge the tables",
+        10: "vector stream data",
+    }
+    edges = sorted(
+        (r["src"], r["dst"])
+        for r in read_id_graph(spark, str(g)).collect()
+    )
+    assert edges == [(0, 3), (0, 10), (3, 10), (10, 0)]
