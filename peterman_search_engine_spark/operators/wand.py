@@ -8,25 +8,33 @@ first-doc_ids and BM25 upper bounds (``indexer._make_encode_udf``:
 ``tf*(k1+1)/(tf+k1*(1-b+b*len/avglen))``; multiplying by the per-term
 constant ``qtf*idf`` gives a valid block score bound).
 
-Exact top-k in three phases, all DataFrame-plan except tiny collects
-(per-query-term idf dict, seed segment ids, the threshold scalar):
+Exact top-k as ONE lazy DataFrame plan (a single Spark action unless
+``return_stats``): per-term idf, seed selection, and the threshold θ
+are broadcast subplans, never driver collects.
 
-A. **seed**: score the most promising segments (highest Σ-term upper
-   bound) exactly; the k-th seed score is the threshold θ.
-B. **prune**: a block survives iff
-   ``qtf_t·idf_t·block_ub + Σ_{t'≠t} seg_term_ub(t') ≥ θ``.
-   Docs appearing ONLY in pruned blocks provably score < θ and are
-   dropped. Surviving blocks' doc_ids are recovered by decoding the
+A. **seed**: exactly score the most promising segments (highest
+   Σ-term upper bound); θ = the k-th best seed (score, doc_id).
+B. **prune**: a block of term t survives iff
+   ``w_t·block_ub + Σ_{t'≠t} max{w_t'·ub(b') : b' overlaps b} ≥ θ``
+   — the classic block-max alignment: a doc in block b can only draw
+   term t''s contribution from the t'-block whose doc range contains
+   it, so the max over OVERLAPPING blocks (0 if none) bounds it.
+   Docs appearing only in pruned blocks provably score < θ.
+   Surviving blocks' doc_ids are recovered by decoding the
    delta+varint blob (vectorized numpy) and slicing the block's value
    range — candidates = union over surviving blocks (a superset of
    the true survivors, so exactness is preserved).
 C. **rescore**: exact BM25 restricted to candidate docs, union with
-   the seed scores, global top-k with the canonical
-   (-score, doc_id) tiebreak.
+   the seed top-k, global top-k with the canonical (-score, doc_id)
+   tiebreak.
 
 The pruning win at scale: phase B touches only (segment, term, block)
 metadata rows (|postings|/block_size), and phase C's shuffle carries
-only candidate docs instead of every posting entry.
+only candidate docs instead of every posting entry. Prune
+effectiveness depends on score skew: on a corpus where query terms
+have near-uniform per-block upper bounds, every block can reach θ and
+nothing prunes (correctly); skewed tf / doc-length distributions —
+i.e., real text — are where the block bounds separate.
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.analysis import analyze_query
@@ -153,22 +161,57 @@ def bm25_topk_wand(
         )
     )
 
-    # block metadata rows + the "other terms at their segment max" slack
+    # block metadata rows (the prune works on these only)
     blocks = p.select(
         "segment", "term",
         F.posexplode(F.arrays_zip("block_starts", "block_ubs")).alias("bi", "_z"),
     ).select(
-        "segment", "term", "bi", F.col("_z.block_ubs").alias("bub")
+        "segment", "term", "bi",
+        F.col("_z.block_starts").alias("lo"),
+        F.col("_z.block_ubs").alias("bub"),
     )
-    other = (
-        seg_term_ub.join(seg_ub, "segment")
-        .select("segment", "term", (F.col("seg_ub") - F.col("t_ub")).alias("others"))
+    # doc_id range per block: [lo, next block's lo - 1] (last block
+    # extends to the segment end)
+    wlead = Window.partitionBy("segment", "term").orderBy("bi")
+    blocks = blocks.withColumn(
+        "hi", F.coalesce(F.lead("lo").over(wlead) - 1, F.lit((1 << 62)))
+    )
+    # Per-block slack for the OTHER query terms: classic block-max
+    # alignment — a doc in block b of term t can only draw term t''s
+    # contribution from a t'-block whose doc range OVERLAPS b's, so the
+    # bound per other term is the max UB over overlapping blocks (0
+    # when none overlap: the doc has no t' posting at all). This is
+    # dramatically tighter than the segment-level max for multi-term
+    # queries, and still a valid upper bound. The overlap join runs on
+    # block METADATA only (|postings|/block_size rows per term).
+    wb = blocks.join(wdf, "term").select(
+        "segment", "term", "bi", "lo", "hi", (F.col("w") * F.col("bub")).alias("wub")
+    )
+    a = wb.alias("a")
+    o = wb.alias("b")
+    pair_slack = (
+        a.join(
+            o,
+            (F.col("a.segment") == F.col("b.segment"))
+            & (F.col("a.term") != F.col("b.term"))
+            & (F.col("b.lo") <= F.col("a.hi"))
+            & (F.col("b.hi") >= F.col("a.lo")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.segment").alias("segment"),
+            F.col("a.term").alias("term"),
+            F.col("a.bi").alias("bi"),
+            F.col("a.wub").alias("wub"),
+            F.col("b.term").alias("oterm"),
+        )
+        .agg(F.max(F.col("b.wub")).alias("o_max"))
+        .groupBy("segment", "term", "bi", "wub")
+        .agg(F.sum(F.coalesce("o_max", F.lit(0.0))).alias("others"))
     )
     surviving = (
-        blocks.join(wdf, "term")
-        .join(other, ["segment", "term"])
-        .crossJoin(theta_df)
-        .filter(F.col("w") * F.col("bub") + F.col("others") >= F.col("theta"))
+        pair_slack.crossJoin(theta_df)
+        .filter(F.col("wub") + F.col("others") >= F.col("theta"))
         .join(seeds_df, "segment", "left_anti")
         .groupBy("segment", "term")
         .agg(F.sort_array(F.collect_list("bi")).alias("bis"))

@@ -166,3 +166,43 @@ def test_stats_json_written(spark, small_corpus, tmp_path):
         stats = json.load(f)
     assert stats["n_docs"] == small_corpus.count()
     assert stats["avg_len"] > 0
+
+
+def test_wand_prunes_on_skewed_corpus(spark):
+    """Block-max pruning must actually prune when score distributions
+    are skewed (the realistic case): a rare high-tf term concentrated
+    in one doc_id region lets the overlap-aligned bounds kill the rest
+    of the blocks — while the result stays exactly the exhaustive
+    top-k."""
+    from pyspark.sql import functions as F
+
+    from peterman_search_engine_spark.operators.indexer import build_index
+    from peterman_search_engine_spark.operators.wand import (
+        bm25_topk_exhaustive,
+        bm25_topk_wand,
+    )
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common filler text word"),
+            # 'rare' only in docs 100-119, with growing tf
+            F.when(
+                (F.col("id") >= 100) & (F.col("id") < 120),
+                F.concat_ws(" ", F.array_repeat(F.lit(" rare"), 5)),
+            ).otherwise(F.lit("")),
+            F.lit(" tail"),
+        ).alias("text"),
+    )
+    idx = build_index(docs, stem=False, positional=False, docs_per_segment=250)
+    idx.postings = idx.postings.localCheckpoint(eager=True)
+    idx.doc_stats = idx.doc_stats.localCheckpoint(eager=True)
+    idx.term_stats = idx.term_stats.localCheckpoint(eager=True)
+
+    got, stats = bm25_topk_wand(
+        idx, ["rare", "common"], 10, seed_segments=1, return_stats=True
+    )
+    want = bm25_topk_exhaustive(idx, ["rare", "common"], 10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert stats["prune_ratio"] > 0.3, stats
