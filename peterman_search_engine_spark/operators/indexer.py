@@ -177,6 +177,16 @@ def _posting_schema(positional: bool) -> StructType:
     return StructType(fields)
 
 
+
+def _empty_pdf(schema: StructType) -> pd.DataFrame:
+    """Schema-shaped 0-row pandas frame with OBJECT dtype columns.
+    ``pd.DataFrame({name: []})`` defaults every column to float64,
+    which Arrow cannot convert to list/binary types ("NumPyConverter
+    doesn't implement list<...>") — surfaced by groups whose documents
+    tokenize to zero terms (empty or all-stop-word text)."""
+    return pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
+
+
 def postings_from_tokens(
     toks: DataFrame,
     *,
@@ -219,7 +229,7 @@ def postings_from_tokens(
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
+            return _empty_pdf(schema)
         seg = int(pdf["segment"].iloc[0])
         terms = pdf["term"].to_numpy()
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -540,7 +550,7 @@ def _build_group(
     from ..functions.analysis import _analyze_py, tokenize_block
 
     if len(pdf) == 0:
-        return pd.DataFrame({f.name: [] for f in schema.fields})
+        return _empty_pdf(schema)
     seg = int(pdf["segment"].iloc[0])
     doc_ids_np = pd.to_numeric(pdf["doc_id"]).to_numpy(np.int64)
     tok = None
@@ -562,7 +572,7 @@ def _build_group(
         tcodes, tinv, tdoc, poss, dl = tok
         total = len(tinv)
         if total == 0:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
+            return _empty_pdf(schema)
         docs = doc_ids_np[tdoc]
         dlens = dl.astype(np.float64)[tdoc]
     else:
@@ -572,7 +582,7 @@ def _build_group(
         )
         total = int(counts.sum())
         if total == 0:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
+            return _empty_pdf(schema)
         docs = np.repeat(doc_ids_np, counts)
         dlens = np.repeat(counts.astype(np.float64), counts)
         # per-doc position = global index minus the doc's start offset

@@ -134,3 +134,61 @@ def test_aligned_build_matches_shuffled(spark):
         }
 
     assert canon(a) == canon(b)
+
+
+def test_non_ascii_corpus_fallback(spark):
+    """Unicode text routes through the per-string analyzer fallback in
+    BOTH build strategies; results must agree with the declarative
+    JVM tokenizer path (which handles unicode natively)."""
+    from peterman_search_engine_spark.operators.indexer import (
+        postings_from_aligned_corpus,
+        postings_from_corpus,
+        postings_from_tokens_agg,
+        tokenize_corpus,
+    )
+
+    rows = [
+        (0, "héllo wörld héllo"),
+        (1, "çedilla test naïve approach"),
+        (2, "plain ascii text here"),
+        (3, "日本語 テスト 日本語"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(p):
+        return {
+            tuple(r)
+            for r in p.select(
+                "term",
+                F.explode(F.arrays_zip("doc_ids", "tfs", "positions")).alias("z"),
+            )
+            .select(
+                "term",
+                F.col("z.doc_ids"),
+                F.col("z.tfs"),
+                F.col("z.positions").cast("array<int>").cast("string"),
+            )
+            .collect()
+        }
+
+    jvm = canon(
+        postings_from_tokens_agg(
+            tokenize_corpus(docs, stem=False), avg_len=4.0, docs_per_segment=2
+        )
+    )
+    fused = canon(
+        postings_from_corpus(
+            docs, avg_len=4.0, stem=False, positional=True, docs_per_segment=2
+        )
+    )
+    aligned = canon(
+        postings_from_aligned_corpus(
+            docs.repartitionByRange(3, "doc_id"),
+            avg_len=4.0,
+            stem=False,
+            positional=True,
+        )
+    )
+    assert jvm == fused == aligned
+    assert any(t == "héllo" for t, *_ in jvm)
