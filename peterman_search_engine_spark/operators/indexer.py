@@ -566,7 +566,9 @@ def _build_group(
             else np.empty(0, np.uint8)
         )
         tok = tokenize_block(dat, offs, stem=stem)
-    except ValueError:
+    except (ValueError, pa.lib.ArrowException):
+        # non-ascii (ValueError) or an Arrow construction limit —
+        # either way the per-string analyzer below is the exact path
         tok = None
     if tok is not None:
         tcodes, tinv, tdoc, poss, dl = tok
