@@ -203,10 +203,20 @@ def q_wordbreak(spark, sf):
 
 
 def q_bm25_wand(spark, sf):
-    """Block-max WAND pruned BM25 — must equal the exhaustive plan
-    (same oracle SQL as bm25_topk)."""
+    """Block-max WAND BM25 in its SHIPPED configuration: the cost gate
+    compares the query's posting volume (Σ df from term_stats) against
+    the pruned plan's fixed overhead and picks exhaustive vs pruned —
+    either way exact, same oracle SQL as bm25_topk."""
     idx = _index(spark, sf)
     scored = bm25_topk_wand(idx, BM25_TERMS, TOP_K * 3)
+    return _ranked_e6(scored, TOP_K)
+
+
+def q_bm25_wand_forced(spark, sf):
+    """The pruned block-max plan itself (gate bypassed) — must equal
+    the exhaustive plan (same oracle SQL as bm25_topk)."""
+    idx = _index(spark, sf)
+    scored = bm25_topk_wand(idx, BM25_TERMS, TOP_K * 3, force_prune=True)
     return _ranked_e6(scored, TOP_K)
 
 
@@ -522,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase,
         "bm25_topk": q_bm25,
         "bm25_wand_topk": q_bm25_wand,
+        "bm25_wand_forced": q_bm25_wand_forced,
         "streaming_bm25_topk": q_streaming_bm25,
         "streaming_events_hourly": q_streaming_events_hourly,
         "wordbreak_tokens": q_wordbreak,
@@ -562,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         "bm25_wand_topk": S.sql_bm25(BM25_TERMS, TOP_K),
+        "bm25_wand_forced": S.sql_bm25(BM25_TERMS, TOP_K),
         # streaming incremental build is rank-identical to batch: same
         # oracle as bm25_topk. (wordbreak_tokens intentionally has no
         # oracle: DP segmentation is not expressible in portable SQL.)

@@ -153,14 +153,25 @@ def _delim_lut():
 
 
 def _stop_void(width: int):
-    """Stop-word set as |V<width> void scalars for vectorized isin."""
+    """Stop-word set as |V<width> void scalars for vectorized isin.
+
+    Stop words LONGER than ``width`` are excluded: when every token in
+    a batch is short (W = max token length < the stop word's length),
+    no untruncated token of length <= W can equal the full stop word,
+    and including its W-byte prefix would falsely drop a legitimate
+    token equal to that prefix (e.g. a 3-char batch dropping 'wit'
+    because 'with' truncates to it). When W == _LONG_CAP every stop
+    word (max ~10 bytes) fits untruncated, so nothing is lost."""
     import numpy as np
 
     if width not in _STOP_VOID_BY_W:
-        mat = np.zeros((len(STOP_WORDS), width), dtype=np.uint8)
-        for i, w in enumerate(sorted(STOP_WORDS)):
-            b = w.encode()[:width]
+        words = [w.encode() for w in sorted(STOP_WORDS)]
+        words = [b for b in words if len(b) <= width]
+        mat = np.zeros((max(len(words), 1), width), dtype=np.uint8)
+        for i, b in enumerate(words):
             mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        if not words:  # no representable stop word: match-nothing row
+            mat[0, 0] = 0xFF  # tokens are delimiter-free, never 0xFF-led
         _STOP_VOID_BY_W[width] = mat.view(f"|V{width}").ravel()
     return _STOP_VOID_BY_W[width]
 

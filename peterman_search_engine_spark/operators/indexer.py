@@ -130,6 +130,16 @@ class InvertedIndex:
     avg_len: float
     positional: bool
     stem: bool
+    # block granularity the stored block_starts/block_ubs were encoded
+    # with — queries MUST slice blobs at this width, so it travels with
+    # the index (persisted in stats.json) instead of being a caller
+    # parameter that can silently disagree with the data.
+    block_size: int = DEFAULT_BLOCK_SIZE
+    # optional persisted narrow block-metadata table
+    # (rid, segment, term, bi, lo, hi, ub) — lets WAND's prune phase
+    # scan |postings|/block_size metadata rows without touching the
+    # wide posting columns; derived lazily from postings when absent.
+    block_meta: DataFrame | None = None
 
     def num_segments(self) -> int:
         return self.postings.select("segment").distinct().count()
@@ -749,6 +759,7 @@ def build_index(
         avg_len=avg_len,
         positional=positional,
         stem=stem,
+        block_size=block_size,
     )
 
 
@@ -756,7 +767,7 @@ def merge_segments(
     index: InvertedIndex,
     *,
     factor: int = 2,
-    block_size: int = DEFAULT_BLOCK_SIZE,
+    block_size: int | None = None,
 ) -> InvertedIndex:
     """B3/B4 mergeAllSegments: coalesce groups of ``factor`` adjacent
     segments (reference merges pairs, halving the count —
@@ -770,6 +781,8 @@ def merge_segments(
     doc_id order — no docID rebasing needed (global dense ids; the
     reference instead rebases seg2 ids by +size(seg1), IIM:1054-1056).
     """
+    if block_size is None:
+        block_size = index.block_size
     p = index.postings.withColumn(
         "segment", (F.col("segment") / F.lit(factor)).cast("long")
     )
@@ -824,4 +837,5 @@ def merge_segments(
         avg_len=index.avg_len,
         positional=index.positional,
         stem=index.stem,
+        block_size=block_size,
     )

@@ -28,13 +28,30 @@ C. **rescore**: exact BM25 restricted to candidate docs, union with
    the seed top-k, global top-k with the canonical (-score, doc_id)
    tiebreak.
 
-The pruning win at scale: phase B touches only (segment, term, block)
-metadata rows (|postings|/block_size), and phase C's shuffle carries
-only candidate docs instead of every posting entry. Prune
-effectiveness depends on score skew: on a corpus where query terms
-have near-uniform per-block upper bounds, every block can reach θ and
-nothing prunes (correctly); skewed tf / doc-length distributions —
-i.e., real text — are where the block bounds separate.
+Soundness under duplicate (segment, term) rows: a streaming-built
+index carries one posting row per (micro-batch, segment, term), so a
+(segment, term) pair is NOT unique. Every per-block doc range is
+therefore derived from the row's OWN ``block_starts``/``doc_ids``
+(block i's hi = block i+1's lo − 1 within the row; the last block
+ends at the row's last doc_id) and every per-row computation keys on
+a content-derived row id — never a window over (segment, term), which
+would interleave blocks of different rows and produce inverted
+ranges. Per-(segment, term) upper bounds are MAX-aggregated across
+rows (a doc lives in exactly one row, so max is a valid bound; sum
+would be fine too but looser).
+
+Cost model (why the gate exists): the pruned plan pays a fixed
+overhead — seed-scoring subjob, block-metadata overlap join, blob
+decode — that only amortizes when the exhaustive plan would shuffle
+a large posting volume. ``prune_min_entries`` gates on Σ df over the
+query terms (one tiny term_stats lookup, the same statistic the
+reference reads from its dictionary slots): below the threshold the
+exhaustive plan wins and is returned directly; above it phase B
+touches only (segment, term, block) metadata rows
+(|postings|/block_size) and phase C's shuffle carries only candidate
+docs. Prune effectiveness depends on score skew: near-uniform
+per-block bounds prune nothing (correctly); skewed tf / doc-length
+distributions — real text — are where the block bounds separate.
 """
 
 from __future__ import annotations
@@ -43,13 +60,19 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analysis import analyze_query
 from ..functions.codec import delta_varint_decode
-from .indexer import B, DEFAULT_BLOCK_SIZE, K1, InvertedIndex
+from .indexer import B, K1, InvertedIndex
 from .query import bm25_scores, top_k_df
+
+# Break-even posting volume for the pruned plan (Σ df over query
+# terms). Below this the exhaustive scan is cheaper than the pruned
+# plan's fixed job overhead; at 10^12-turn scale any non-rare term
+# clears it by orders of magnitude. Tunable per deployment.
+DEFAULT_PRUNE_MIN_ENTRIES = 10_000_000
 
 
 def _qtf(toks: list[str]) -> dict[str, int]:
@@ -59,19 +82,71 @@ def _qtf(toks: list[str]) -> dict[str, int]:
     return out
 
 
+def rid_col() -> Column:
+    """Content-derived unique row id for a posting row. Rows sharing
+    (segment, term) — streaming micro-batches — hold disjoint doc_id
+    ranges, so (segment, term, first doc, df) identifies a row; the
+    same expression computed on postings and on block_meta joins them
+    without any ordering assumption (monotonically_increasing_id is
+    NOT stable across separate subplan evaluations)."""
+    return F.xxhash64("segment", "term", F.element_at("doc_ids", 1), "df")
+
+
+BLOCK_META_SCHEMA = (
+    "rid long, segment long, term string, bi int, lo long, hi long, ub double"
+)
+
+
+def block_meta_df(index: InvertedIndex) -> DataFrame:
+    """The narrow block-metadata relation
+    ``(rid, segment, term, bi, lo, hi, ub)`` — one row per posting
+    block, ranges derived per posting ROW (duplicate-(segment,term)
+    safe). Uses the persisted table when the index carries one
+    (``plans.checkpoint`` writes it); otherwise derives it from the
+    postings, where Parquet column pruning keeps the scan narrow."""
+    if index.block_meta is not None:
+        return index.block_meta
+    p = index.postings.select(
+        rid_col().alias("rid"),
+        "segment",
+        "term",
+        F.element_at("doc_ids", -1).alias("_last"),
+        "block_starts",
+        "block_ubs",
+    )
+    b = p.select(
+        "rid", "segment", "term", "_last", "block_starts",
+        F.posexplode(F.arrays_zip("block_starts", "block_ubs")).alias("bi", "_z"),
+    )
+    # block i's doc range ends where the row's OWN next block starts
+    # (F.get is 0-based and null out of bounds); the last block ends at
+    # the row's last doc_id.
+    return b.select(
+        "rid", "segment", "term",
+        F.col("bi").cast("int").alias("bi"),
+        F.col("_z.block_starts").alias("lo"),
+        F.coalesce(F.get("block_starts", F.col("bi") + 1) - 1, F.col("_last"))
+        .alias("hi"),
+        F.col("_z.block_ubs").alias("ub"),
+    )
+
+
 def bm25_topk_wand(
     index: InvertedIndex,
     terms: list[str],
     k: int,
     *,
     seed_segments: int = 1,
-    block_size: int = DEFAULT_BLOCK_SIZE,
+    block_size: int | None = None,
+    prune_min_entries: int = DEFAULT_PRUNE_MIN_ENTRIES,
+    force_prune: bool = False,
     return_stats: bool = False,
 ):
-    """Exact BM25 top-k via block-max pruning. Returns the result
-    DataFrame ``(doc_id, score)`` ordered by (-score, doc_id), or
-    ``(df, stats)`` when ``return_stats`` — stats reports blocks
-    pruned vs decoded for auditability/bench.
+    """Exact BM25 top-k, block-max-pruned when the posting volume
+    justifies it. Returns the result DataFrame ``(doc_id, score)``
+    ordered by (-score, doc_id), or ``(df, stats)`` when
+    ``return_stats`` — stats reports blocks pruned vs decoded (or the
+    gate decision) for auditability/bench.
     """
     toks = analyze_query(terms, stem=index.stem)
     spark = index.postings.sparkSession
@@ -79,6 +154,22 @@ def bm25_topk_wand(
     if not toks:
         return (empty, {}) if return_stats else empty
     qtf = _qtf(toks)
+    if block_size is None:
+        block_size = index.block_size
+
+    if not force_prune:
+        # cost gate: one metadata-sized lookup (term_stats is
+        # #distinct-terms rows; the reference reads the same df numbers
+        # from its dictionary slots, IIM:705-715)
+        est = index.term_stats.filter(
+            F.col("term").isin(sorted(qtf))
+        ).agg(F.sum("df").alias("e")).collect()[0]["e"]
+        est = int(est or 0)
+        if est < prune_min_entries:
+            res = bm25_topk_exhaustive(index, terms, k)
+            if return_stats:
+                return res, {"gated_exhaustive": True, "est_entries": est}
+            return res
 
     # The ENTIRE pruned top-k is ONE lazy plan (single Spark job when
     # return_stats is off): per-term idf, seed selection and the
@@ -99,19 +190,20 @@ def bm25_topk_wand(
         )
     )
 
-    p = index.postings.filter(F.col("term").isin(sorted(set(toks)))).select(
-        "segment", "term", "doc_ids", "tfs", "blob", "block_starts", "block_ubs"
-    )
+    qterms = sorted(set(toks))
+    p = index.postings.filter(F.col("term").isin(qterms))
+    meta = block_meta_df(index).filter(F.col("term").isin(qterms))
 
-    # per (segment, term) UB and per segment total UB (metadata-sized)
-    seg_term_ub = (
-        p.join(wdf, "term")
-        .select(
-            "segment", "term",
-            (F.col("w") * F.array_max("block_ubs")).alias("t_ub"),
-        )
+    # per (segment, term) UB — MAX across that term's blocks AND across
+    # duplicate rows (a doc lives in exactly one row) — then per-segment
+    # total UB. Metadata-sized throughout.
+    seg_ub = (
+        meta.join(wdf, "term")
+        .groupBy("segment", "term")
+        .agg(F.max(F.col("w") * F.col("ub")).alias("t_ub"))
+        .groupBy("segment")
+        .agg(F.sum("t_ub").alias("seg_ub"))
     )
-    seg_ub = seg_term_ub.groupBy("segment").agg(F.sum("t_ub").alias("seg_ub"))
 
     # seed segments (highest UB first, deterministic tiebreak) as a
     # broadcast subplan
@@ -161,21 +253,6 @@ def bm25_topk_wand(
         )
     )
 
-    # block metadata rows (the prune works on these only)
-    blocks = p.select(
-        "segment", "term",
-        F.posexplode(F.arrays_zip("block_starts", "block_ubs")).alias("bi", "_z"),
-    ).select(
-        "segment", "term", "bi",
-        F.col("_z.block_starts").alias("lo"),
-        F.col("_z.block_ubs").alias("bub"),
-    )
-    # doc_id range per block: [lo, next block's lo - 1] (last block
-    # extends to the segment end)
-    wlead = Window.partitionBy("segment", "term").orderBy("bi")
-    blocks = blocks.withColumn(
-        "hi", F.coalesce(F.lead("lo").over(wlead) - 1, F.lit((1 << 62)))
-    )
     # Per-block slack for the OTHER query terms: classic block-max
     # alignment — a doc in block b of term t can only draw term t''s
     # contribution from a t'-block whose doc range OVERLAPS b's, so the
@@ -184,8 +261,9 @@ def bm25_topk_wand(
     # dramatically tighter than the segment-level max for multi-term
     # queries, and still a valid upper bound. The overlap join runs on
     # block METADATA only (|postings|/block_size rows per term).
-    wb = blocks.join(wdf, "term").select(
-        "segment", "term", "bi", "lo", "hi", (F.col("w") * F.col("bub")).alias("wub")
+    wb = meta.join(wdf, "term").select(
+        "rid", "segment", "term", "bi", "lo", "hi",
+        (F.col("w") * F.col("ub")).alias("wub"),
     )
     a = wb.alias("a")
     o = wb.alias("b")
@@ -199,41 +277,44 @@ def bm25_topk_wand(
             "left",
         )
         .groupBy(
+            F.col("a.rid").alias("rid"),
             F.col("a.segment").alias("segment"),
-            F.col("a.term").alias("term"),
             F.col("a.bi").alias("bi"),
             F.col("a.wub").alias("wub"),
             F.col("b.term").alias("oterm"),
         )
         .agg(F.max(F.col("b.wub")).alias("o_max"))
-        .groupBy("segment", "term", "bi", "wub")
+        .groupBy("rid", "segment", "bi", "wub")
         .agg(F.sum(F.coalesce("o_max", F.lit(0.0))).alias("others"))
     )
     surviving = (
         pair_slack.crossJoin(theta_df)
         .filter(F.col("wub") + F.col("others") >= F.col("theta"))
         .join(seeds_df, "segment", "left_anti")
-        .groupBy("segment", "term")
+        .groupBy("rid", "segment")
         .agg(F.sort_array(F.collect_list("bi")).alias("bis"))
     )
     if return_stats:
         seeds = [r["segment"] for r in seeds_df.collect()]
         theta = float(theta_df.collect()[0]["theta"])
-        n_blocks_total = blocks.join(seeds_df, "segment", "left_anti").count()
+        n_blocks_total = meta.join(seeds_df, "segment", "left_anti").count()
         n_blocks_kept = surviving.select(F.explode("bis")).count()
 
     # decode surviving blocks' doc_ids from the blob (value-range slice;
-    # blocks are fixed-size value runs — indexer.DEFAULT_BLOCK_SIZE)
-    rows = p.join(surviving, ["segment", "term"]).select(
-        "segment", "term", "blob", "block_starts", "bis"
+    # blocks are fixed-size value runs — codec.block_offsets), joined
+    # back to posting rows by the content-derived row id
+    rows = (
+        p.withColumn("rid", rid_col())
+        .join(surviving.select("rid", "bis"), "rid")
+        .select("blob", "bis")
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids = []
-            for blob, starts, bis in zip(pdf["blob"], pdf["block_starts"], pdf["bis"]):
+            for blob, bis in zip(pdf["blob"], pdf["bis"]):
                 ids = delta_varint_decode(bytes(blob))
-                bs = block_size  # blocks are fixed value runs (codec.block_offsets)
+                bs = block_size  # blocks are fixed value runs
                 keep = np.concatenate(
                     [ids[b * bs:(b + 1) * bs] for b in bis]
                 ) if len(bis) else np.empty(0, dtype=np.int64)

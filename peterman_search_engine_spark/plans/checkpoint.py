@@ -111,6 +111,9 @@ def build_index_checkpointed(
             "positional": positional,
             "docs_per_segment": docs_per_segment,
             "segments_per_group": segments_per_group,
+            # queries must slice blobs at the block width the data was
+            # encoded with — persist it so it cannot silently diverge
+            "block_size": block_size,
         }
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f)
@@ -137,7 +140,7 @@ def build_index_checkpointed(
             stem=stats["stem"],
             positional=positional,
             docs_per_segment=stats["docs_per_segment"],
-            block_size=block_size,
+            block_size=stats.get("block_size", block_size),
         )
         gdir = os.path.join(index_dir, "postings", f"group={g}")
         sp.write.mode("overwrite").parquet(gdir)
@@ -172,8 +175,9 @@ def build_index_checkpointed(
         os.replace(tmp, _manifest_path(index_dir, g))  # commit point
         built += 1
 
-    # term_stats: derived once after all groups exist (cheap: input is
-    # (segment, term) rows). Rewritten on any new group.
+    # term_stats + block_meta: derived once after all groups exist
+    # (cheap: inputs are (segment, term)-level rows / narrow metadata
+    # columns). Rewritten on any new group.
     if built > 0 or not os.path.isdir(os.path.join(index_dir, "term_stats")):
         allp = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
             os.path.join(index_dir, "postings")
@@ -181,6 +185,20 @@ def build_index_checkpointed(
         allp.groupBy("term").agg(
             F.sum("df").alias("df"), F.sum("cf").alias("cf")
         ).write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+        # narrow per-block metadata for WAND's prune phase: the prune
+        # scans these |postings|/block_size rows instead of the wide
+        # posting table (blob/doc_ids never touched until decode)
+        from ..operators.indexer import InvertedIndex as _II
+        from ..operators.wand import block_meta_df
+
+        shell = _II(
+            postings=allp.drop("group"),
+            term_stats=None, doc_stats=None, n_docs=0, avg_len=0.0,
+            positional=stats["positional"], stem=stats["stem"],
+        )
+        block_meta_df(shell).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "block_meta")
+        )
 
     return {
         "groups_total": n_groups,
@@ -198,6 +216,9 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     postings = spark.read.option(
         "basePath", os.path.join(index_dir, "postings")
     ).parquet(os.path.join(index_dir, "postings")).drop("group")
+    bm_dir = os.path.join(index_dir, "block_meta")
+    from ..operators.indexer import DEFAULT_BLOCK_SIZE
+
     return InvertedIndex(
         postings=postings,
         term_stats=spark.read.parquet(os.path.join(index_dir, "term_stats")),
@@ -206,6 +227,8 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
         avg_len=stats["avg_len"],
         positional=stats["positional"],
         stem=stats["stem"],
+        block_size=stats.get("block_size", DEFAULT_BLOCK_SIZE),
+        block_meta=spark.read.parquet(bm_dir) if os.path.isdir(bm_dir) else None,
     )
 
 

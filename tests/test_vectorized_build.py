@@ -84,6 +84,15 @@ def test_tokenize_block_non_ascii_raises():
         _via_block(["héllo wörld"], False)
 
 
+def test_short_batch_keeps_stopword_prefix_tokens():
+    """A batch whose longest token is shorter than a stop word must NOT
+    drop tokens equal to that stop word's prefix ('wit' is a real token
+    even though 'with' is a stop word truncated to the 3-byte width)."""
+    _check(["wit ha abo", "og is ok"], False)
+    got, _ = _via_block(["wit ha abo"], False)
+    assert got == [["wit", "ha", "abo"]]
+
+
 def test_grouped_varint_parity():
     rng = np.random.default_rng(3)
     lists = [

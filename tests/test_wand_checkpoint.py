@@ -57,7 +57,7 @@ def test_wand_rank_identical(small_index, terms):
         for r in bm25_topk_exhaustive(small_index, terms, k).collect()
     ]
     got_df, stats = bm25_topk_wand(
-        small_index, terms, k, block_size=16, return_stats=True
+        small_index, terms, k, force_prune=True, return_stats=True
     )
     got = [(r["doc_id"], round(r["score"], 9)) for r in got_df.collect()]
     assert got == base
@@ -66,11 +66,80 @@ def test_wand_rank_identical(small_index, terms):
 
 def test_wand_prunes_blocks(small_index):
     _, stats = bm25_topk_wand(
-        small_index, ["spark", "merge"], 5, block_size=16, return_stats=True
+        small_index, ["spark", "merge"], 5, force_prune=True, return_stats=True
     )
     # with a selective query and theta>0 some non-seed blocks must die
     assert stats["blocks_total_nonseed"] > 0
     assert stats["blocks_decoded"] <= stats["blocks_total_nonseed"]
+
+
+def test_wand_cost_gate(small_index):
+    """Below the posting-volume threshold the gate returns the
+    exhaustive plan (identical result, no pruning machinery)."""
+    res, stats = bm25_topk_wand(
+        small_index, ["spark", "merge"], 5, return_stats=True
+    )
+    assert stats.get("gated_exhaustive") is True
+    assert stats["est_entries"] > 0
+    base = bm25_topk_exhaustive(small_index, ["spark", "merge"], 5)
+    assert [tuple(r) for r in res.collect()] == [tuple(r) for r in base.collect()]
+    # forcing a tiny threshold takes the pruned path
+    _, stats2 = bm25_topk_wand(
+        small_index, ["spark", "merge"], 5, prune_min_entries=1,
+        return_stats=True,
+    )
+    assert "theta" in stats2
+
+
+def test_wand_exact_with_duplicate_posting_rows(spark, small_corpus):
+    """Streaming-built indexes carry one posting row per (micro-batch,
+    segment, term); a batch boundary inside a segment (the normal case
+    — batch sizes are NOT multiples of docs_per_segment) produces
+    duplicate (segment, term) rows with disjoint doc ranges. WAND's
+    block ranges are derived per ROW, so it must stay exact."""
+    from peterman_search_engine_spark.functions.analysis import tokens_expr
+    from peterman_search_engine_spark.operators.indexer import (
+        InvertedIndex,
+        postings_from_corpus,
+    )
+
+    n = small_corpus.count()
+    cut = 777  # deliberately NOT a multiple of docs_per_segment=200
+    assert cut < n
+    doc_stats = small_corpus.select(
+        "doc_id", F.size(tokens_expr("text")).alias("doc_len")
+    ).localCheckpoint(eager=True)
+    avg_len = float(doc_stats.agg(F.avg("doc_len")).collect()[0][0])
+    halves = [
+        postings_from_corpus(
+            small_corpus.filter(cond), avg_len=avg_len, stem=False,
+            positional=False, docs_per_segment=200,
+        )
+        for cond in (F.col("doc_id") < cut, F.col("doc_id") >= cut)
+    ]
+    posts = halves[0].unionByName(halves[1]).localCheckpoint(eager=True)
+    # the split must actually create duplicate (segment, term) rows
+    assert (
+        posts.groupBy("segment", "term").count().filter(F.col("count") > 1).count()
+        > 0
+    )
+    term_stats = posts.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ).localCheckpoint(eager=True)
+    idx = InvertedIndex(
+        postings=posts, term_stats=term_stats, doc_stats=doc_stats,
+        n_docs=n, avg_len=avg_len, positional=False, stem=False,
+    )
+    for terms in (["spark", "merge"], ["index", "query", "vector"]):
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_exhaustive(idx, terms, 10).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_wand(idx, terms, 10, force_prune=True).collect()
+        ]
+        assert got == want
 
 
 def test_wand_unknown_terms(small_index, spark):
@@ -201,7 +270,8 @@ def test_wand_prunes_on_skewed_corpus(spark):
     idx.term_stats = idx.term_stats.localCheckpoint(eager=True)
 
     got, stats = bm25_topk_wand(
-        idx, ["rare", "common"], 10, seed_segments=1, return_stats=True
+        idx, ["rare", "common"], 10, seed_segments=1, force_prune=True,
+        return_stats=True,
     )
     want = bm25_topk_exhaustive(idx, ["rare", "common"], 10)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
