@@ -59,8 +59,11 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_from_documents(_docs(spark, sf_dir))
 
 
-def _index(spark: SparkSession, sf_dir: str, *, single_segment: bool = False):
-    key = (id(spark), sf_dir, single_segment)
+def _index(
+    spark: SparkSession, sf_dir: str, *, single_segment: bool = False,
+    stem: bool = False,
+):
+    key = (id(spark), sf_dir, single_segment, stem)
     if key not in _INDEX_CACHE:
         if single_segment:
             dps = 10**12
@@ -71,7 +74,7 @@ def _index(spark: SparkSession, sf_dir: str, *, single_segment: bool = False):
             n = _docs(spark, sf_dir).count()
             dps = max(200, -(-n // 64))
         idx = build_index(
-            _corpus(spark, sf_dir), stem=False, positional=True, docs_per_segment=dps
+            _corpus(spark, sf_dir), stem=stem, positional=True, docs_per_segment=dps
         )
         idx.postings = idx.postings.localCheckpoint(eager=True)
         idx.doc_stats = idx.doc_stats.localCheckpoint(eager=True)
@@ -200,6 +203,17 @@ def q_wordbreak(spark, sf):
         "doc_id",
         F.posexplode(word_break_udf()(F.col("glued"))).alias("pos", "term"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+
+
+def q_bm25_stemmed(spark, sf):
+    """A3/A4 driver gate: BM25 over the PORTER-STEMMED index (the
+    reference's default analyzer is tokenizer ∘ stemmer,
+    ComposableAnalyzer.java:21-23). DuckDB has no offline stemmer, so
+    the oracle reads a stemmed-token fixture generated by the shared
+    pure-Python analyzer (``oracle_sql`` builds it) — the Spark side
+    runs the real vectorized stemmed pipeline end-to-end."""
+    idx = _index(spark, sf, stem=True)
+    return _ranked_e6(Q.bm25_scores(idx, BM25_TERMS), TOP_K)
 
 
 def q_bm25_wand(spark, sf):
@@ -531,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_search": q_or,
         "phrase_search": q_phrase,
         "bm25_topk": q_bm25,
+        "bm25_topk_stemmed": q_bm25_stemmed,
         "bm25_wand_topk": q_bm25_wand,
         "bm25_wand_forced": q_bm25_wand_forced,
         "streaming_bm25_topk": q_streaming_bm25,
@@ -572,6 +587,19 @@ def oracle_sql() -> dict[str, str]:
         "or_search": S.sql_or(OR_TERMS),
         "phrase_search": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
+        # A3/A4 gate: the oracle reads a stemmed-token fixture built by
+        # the shared pure-Python analyzer (DuckDB has no offline
+        # stemmer); generated for the sf dir the driver compares at
+        # (override with PSE_TEST_SF_DIR)
+        "bm25_topk_stemmed": S.sql_bm25_stemmed(
+            BM25_TERMS,
+            TOP_K,
+            S.ensure_stemmed_fixture(
+                __import__("os").environ.get(
+                    "PSE_TEST_SF_DIR", "/root/testdata/sf0.01"
+                )
+            ),
+        ),
         "bm25_wand_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         "bm25_wand_forced": S.sql_bm25(BM25_TERMS, TOP_K),
         # streaming incremental build is rank-identical to batch: same

@@ -147,7 +147,9 @@ def load_frequency_dict(path: str) -> dict[str, int]:
     per line (count defaults to 1) — the shape of public word-frequency
     lists (e.g. Norvig's count_1w.txt)."""
     out: dict[str, int] = {}
-    with open(path, encoding="utf-8") as f:
+    # utf-8-sig: the reference's vendored dictionary starts with a BOM
+    # which must not become part of the first word ("﻿the")
+    with open(path, encoding="utf-8-sig") as f:
         for line in f:
             parts = line.split()
             if not parts:

@@ -154,21 +154,33 @@ def ngram_jaccard_pairs(
 def simhash(corpus: DataFrame, *, bits: int = 16) -> DataFrame:
     """SimHash signature per doc over analyzed (unstemmed) tokens with
     multiplicity: bit b is 1 iff Σ_tokens (±1 by token-hash bit b) > 0.
-    Returns (doc_id, simhash long). Fully relational: explode tokens ×
-    bits, two hash aggregations."""
+    Returns (doc_id, simhash long).
+
+    Single-pass: ONE aggregation over the token rows with ``bits``
+    parallel sum expressions (bit b's ±1 is extracted from the token
+    hash inline), then the signature assembles from the per-bit sums
+    in a pure projection. Shuffle volume = |token rows| regardless of
+    signature width — the earlier explode(sequence(0, bits-1)) form
+    amplified every token row ×bits through the shuffle, which at a
+    production 64-bit width is a 64× regression. Supports bits up to
+    64 (bit 63 maps to the sign bit of the signed long signature)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     toks = corpus.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
     h = toks.select("doc_id", (md5_long(F.col("term"))).alias("h"))
-    hb = h.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    per_bit = hb.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = (1 << b) if b < 63 else -(1 << 63)  # two's-complement bit 63
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_bit.select("doc_id", sig.alias("simhash"))

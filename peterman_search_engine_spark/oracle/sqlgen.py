@@ -106,8 +106,11 @@ def _qtf_values(terms: list[str]) -> str:
     return ", ".join(f"('{t}', {float(n)})" for t, n in sorted(qtf.items()))
 
 
-def sql_bm25(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
-    return f"""WITH {TOKS_CTE}, {DL_CTE},
+def sql_bm25(
+    terms: list[str], k: int, k1: float = 1.2, b: float = 0.75,
+    toks_cte: str | None = None,
+) -> str:
+    return f"""WITH {toks_cte if toks_cte is not None else TOKS_CTE}, {DL_CTE},
 q(term, qtf) AS (VALUES {_qtf_values(terms)}),
 n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -124,6 +127,62 @@ scored AS (
 )
 SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
 FROM scored ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
+def ensure_stemmed_fixture(sf_dir: str) -> str:
+    """Materialize the Porter-STEMMED token table ``(doc_id, tok,
+    pos)`` for ``sf_dir``'s documents as a parquet fixture, computed by
+    the shared pure-Python analyzer (``_analyze_py(stem=True)``) with
+    no Spark involvement — DuckDB has no offline stemmer, so its BM25
+    oracle reads this table instead of tokenizing in SQL. Idempotent
+    (regenerated only when the source parquet is newer)."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/pse_stemmed_tokens_{base}.parquet"
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(src):
+        return path  # driver env always has testdata; leave path as-is
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(src):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.analysis import _analyze_py
+
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    out_doc: list[int] = []
+    out_tok: list[str] = []
+    out_pos: list[int] = []
+    for d, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        for p, tok in enumerate(_analyze_py(tx or "", True)):
+            out_doc.append(int(d))
+            out_tok.append(tok)
+            out_pos.append(p)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "tok": pa.array(out_tok, pa.string()),
+            "pos": pa.array(out_pos, pa.int32()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_bm25_stemmed(terms: list[str], k: int, fixture_path: str) -> str:
+    """BM25 oracle over the Porter-stemmed fixture table: query terms
+    are stemmed Python-side (constants in the SQL), document tokens
+    come from the fixture instead of SQL tokenization."""
+    from ..functions.analysis import analyze_query
+
+    stemmed = analyze_query(terms, stem=True)
+    toks_cte = (
+        f"toks AS (SELECT doc_id, tok, pos FROM read_parquet('{fixture_path}'))"
+    )
+    return sql_bm25(stemmed, k, toks_cte=toks_cte)
 
 
 def sql_tfidf(terms: list[str], k: int) -> str:

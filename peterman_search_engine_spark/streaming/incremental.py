@@ -11,22 +11,35 @@ the batch query operators work unchanged over a streaming-built index.
 
 Semantics:
 
-* doc_ids stay globally dense: each batch is sorted by the stable
-  (conv_id, turn_idx) key and numbered from the running total in
-  ``stats.json`` — the streaming equivalent of the reference's
-  insertion-order docID counter (``IIM:194-197``).
-* idempotent ingest: Structured Streaming replays a batch after a
-  crash; the per-batch manifest row (written AFTER the parquet commit,
-  same write-ahead ordering as ``plans.checkpoint``) makes the replay
-  a no-op, so the index gets exactly-once contents.
-* BM25 global stats (n_docs, total_len → avg_len) are folded forward
-  in ``stats.json``; exact BM25/TF-IDF/boolean/phrase queries over the
-  loaded index are therefore identical to a batch rebuild of the same
-  corpus. The ONE thing that drifts is the stored block upper bounds
-  (encoded with the avg_len known at batch time) — run
-  ``reencode_blocks`` (compaction) before trusting block-max WAND
-  pruning on a streaming-built index; every non-WAND query is exact
-  without it.
+* doc_ids stay globally dense: each batch is numbered from the running
+  total in stable (conv_id, turn_idx) order — the streaming equivalent
+  of the reference's insertion-order docID counter (``IIM:194-197``).
+  Numbering uses the scalable two-level scheme
+  (``sources.adapters.assign_dense_doc_ids``: range partition +
+  per-partition counts + driver prefix sum), never a global
+  single-partition window.
+* exactly-once ingest with ONE commit point: every per-batch artifact
+  (postings group, doc_stats partition, term_stats delta) is an
+  idempotent overwrite, and the batch manifest row — which carries the
+  batch's doc count and token length — is written LAST. All dynamic
+  corpus stats (n_docs, total_len, avg_len, max_doc_id) are derived by
+  folding committed manifests, so a crash anywhere before the manifest
+  rename replays the batch byte-identically, and a crash after it
+  skips the batch entirely. Nothing dynamic is persisted outside the
+  manifest, so there is no ordering window in which stats and data can
+  disagree.
+* per-batch work is O(batch), never O(index): global term_stats are
+  NOT rebuilt per batch — each batch writes its own (term, df, cf)
+  delta partition and ``load_streaming_index`` folds the deltas (a
+  term-level aggregation, metadata-sized) at load time;
+  ``reencode_blocks`` compaction materializes them once.
+* BM25/TF-IDF/boolean/phrase queries over the loaded index are exact
+  and identical to a batch rebuild of the same corpus. The ONE thing
+  that drifts is the stored block upper bounds (encoded with the
+  avg_len known at batch time) — run ``reencode_blocks`` (compaction)
+  before trusting block-max WAND pruning on a streaming-built index;
+  every non-WAND query is exact without it, and WAND's block ranges
+  are duplicate-row-safe either way (``operators.wand``).
 """
 
 from __future__ import annotations
@@ -35,7 +48,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.indexer import (
@@ -45,36 +58,64 @@ from ..operators.indexer import (
 )
 
 
-def _stats_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "stats.json")
+def _config_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "config.json")
 
 
-def _load_stats(index_dir: str, stem: bool, positional: bool, dps: int) -> dict:
-    p = _stats_path(index_dir)
+def _load_config(
+    index_dir: str, stem: bool, positional: bool, dps: int, block_size: int
+) -> dict:
+    p = _config_path(index_dir)
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
     return {
-        "n_docs": 0,
-        "total_len": 0,
-        "avg_len": 0.0,
-        "max_doc_id": -1,
         "stem": stem,
         "positional": positional,
         "docs_per_segment": dps,
-        "segments_per_group": 1,
+        "block_size": block_size,
     }
 
 
-def _save_stats(index_dir: str, stats: dict) -> None:
-    tmp = _stats_path(index_dir) + ".tmp"
+def _save_config(index_dir: str, cfg: dict) -> None:
+    # static values only — idempotent, safe to rewrite on replay
+    tmp = _config_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, _stats_path(index_dir))
+        json.dump(cfg, f)
+    os.replace(tmp, _config_path(index_dir))
 
 
 def _batch_manifest(index_dir: str, batch_id: int) -> str:
     return os.path.join(index_dir, "_manifest", f"batch_{batch_id}.json")
+
+
+def read_manifests(index_dir: str) -> list[dict]:
+    mdir = os.path.join(index_dir, "_manifest")
+    rows = []
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("batch_") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    rows.append(json.load(f))
+    return rows
+
+
+def fold_stats(index_dir: str) -> dict:
+    """Dynamic corpus stats derived from COMMITTED batch manifests —
+    the single source of truth (a manifest row implies durable data,
+    so these can never disagree with the index contents)."""
+    n_docs = total_len = 0
+    max_doc_id = -1
+    for m in read_manifests(index_dir):
+        n_docs += m["n_docs"]
+        total_len += m["total_len"]
+        max_doc_id = max(max_doc_id, m["doc_id_hi"] - 1)
+    return {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avg_len": total_len / n_docs if n_docs else 0.0,
+        "max_doc_id": max_doc_id,
+    }
 
 
 def ingest_batch(
@@ -89,42 +130,46 @@ def ingest_batch(
 ) -> None:
     """foreachBatch body: one micro-batch of transcript rows → one
     posting group appended to the index. Also usable directly for
-    batch-wise incremental loads."""
+    batch-wise incremental loads. Reads NOTHING from prior groups —
+    per-batch cost is O(batch)."""
     if os.path.exists(_batch_manifest(index_dir, batch_id)):
         return  # replayed batch — already durable
     if batch_df.isEmpty():
         return
     os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
     t0 = time.perf_counter()
-    stats = _load_stats(index_dir, stem, positional, docs_per_segment)
-    base = stats["n_docs"]
+    cfg = _load_config(index_dir, stem, positional, docs_per_segment, block_size)
+    _save_config(index_dir, cfg)
+    prior = fold_stats(index_dir)
+    base, prior_len = prior["n_docs"], prior["total_len"]
 
     # dense doc_ids continuing from the running total, stable
-    # (conv_id, turn_idx) order within the batch. A micro-batch is
-    # bounded (maxFilesPerTrigger), so a single window here is fine;
-    # the scalable two-level scheme (sources.adapters) applies if
-    # batches are huge.
-    w = Window.orderBy("conv_id", "turn_idx")
+    # (conv_id, turn_idx) order within the batch, via the two-level
+    # scheme (range partition + partition-local row numbers + driver
+    # prefix sum of partition counts) — no single-partition window,
+    # so a huge micro-batch still parallelizes.
+    from ..sources.adapters import assign_dense_doc_ids
+
     corpus = (
-        batch_df.withColumn("doc_id", F.row_number().over(w) - 1 + F.lit(base))
+        assign_dense_doc_ids(batch_df, ["conv_id", "turn_idx"])
+        .withColumn("doc_id", F.col("doc_id") + F.lit(base))
         .select("doc_id", "text")
     )
-    toks = tokenize_corpus(corpus, stem=stem).localCheckpoint(eager=True)
+    toks = tokenize_corpus(corpus, stem=cfg["stem"]).localCheckpoint(eager=True)
 
     lens = toks.agg(
         F.count("*").alias("n"), F.sum(F.size("tokens")).alias("total")
     ).collect()[0]
     n_batch, len_batch = int(lens["n"]), int(lens["total"] or 0)
-    new_total_len = stats["total_len"] + len_batch
-    new_n = stats["n_docs"] + n_batch
-    avg_len = new_total_len / new_n if new_n else 0.0
+    new_n = base + n_batch
+    avg_len = (prior_len + len_batch) / new_n if new_n else 0.0
 
     sp = postings_from_tokens(
         toks,
         avg_len=avg_len,
-        positional=positional,
-        docs_per_segment=docs_per_segment,
-        block_size=block_size,
+        positional=cfg["positional"],
+        docs_per_segment=cfg["docs_per_segment"],
+        block_size=cfg["block_size"],
     )
     gdir = os.path.join(index_dir, "postings", f"group=stream_{batch_id}")
     sp.write.mode("overwrite").parquet(gdir)
@@ -132,25 +177,18 @@ def ingest_batch(
         "overwrite"
     ).parquet(os.path.join(index_dir, "doc_stats", f"batch={batch_id}"))
 
+    # per-batch term_stats DELTA (term-level rows for THIS group only;
+    # folded at load/compaction — the global table is never rebuilt
+    # per batch, which would be O(total index) work)
     spark = batch_df.sparkSession
-    allp = spark.read.option(
-        "basePath", os.path.join(index_dir, "postings")
-    ).parquet(os.path.join(index_dir, "postings"))
-    allp.groupBy("term").agg(
+    written = spark.read.parquet(gdir)
+    written.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
-
-    stats.update(
-        {
-            "n_docs": new_n,
-            "total_len": new_total_len,
-            "avg_len": avg_len,
-            "max_doc_id": base + n_batch - 1,
-        }
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "term_stats_delta", f"batch={batch_id}")
     )
-    _save_stats(index_dir, stats)
 
-    agg = spark.read.parquet(gdir).agg(
+    agg = written.agg(
         F.count("*").alias("rows"),
         F.sum("df").alias("entries"),
         F.sum(F.length("blob")).alias("blob_bytes"),
@@ -159,6 +197,8 @@ def ingest_batch(
         "batch": batch_id,
         "doc_id_lo": base,
         "doc_id_hi": base + n_batch,
+        "n_docs": n_batch,
+        "total_len": len_batch,
         "posting_rows": int(agg["rows"]),
         "posting_entries": int(agg["entries"] or 0),
         "blob_bytes": int(agg["blob_bytes"] or 0),
@@ -167,7 +207,9 @@ def ingest_batch(
     tmp = _batch_manifest(index_dir, batch_id) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(row, f)
-    os.replace(tmp, _batch_manifest(index_dir, batch_id))  # commit point
+    # the ONE commit point: everything above is an idempotent
+    # overwrite; dynamic stats exist only as folds of these rows
+    os.replace(tmp, _batch_manifest(index_dir, batch_id))
 
 
 def start_incremental_build(
@@ -212,24 +254,48 @@ def start_incremental_build(
 
 def load_streaming_index(spark: SparkSession, index_dir: str):
     """Open a streaming-built index with the batch query surface.
-    doc_stats is partitioned by batch; drop the partition column."""
-    from ..plans.checkpoint import load_index  # layout-compatible
+    Corpus stats fold from committed manifests; term_stats folds the
+    per-batch deltas unless a compaction materialized the table."""
     from ..operators.indexer import InvertedIndex
 
-    idx = load_index(spark, index_dir)
+    with open(_config_path(index_dir)) as f:
+        cfg = json.load(f)
+    stats = fold_stats(index_dir)
+
+    postings = spark.read.option(
+        "basePath", os.path.join(index_dir, "postings")
+    ).parquet(os.path.join(index_dir, "postings"))
+    if "group" in postings.columns:
+        postings = postings.drop("group")
+
+    ts_dir = os.path.join(index_dir, "term_stats")
+    if os.path.isdir(ts_dir):
+        term_stats = spark.read.parquet(ts_dir)
+    else:
+        deltas = spark.read.option(
+            "basePath", os.path.join(index_dir, "term_stats_delta")
+        ).parquet(os.path.join(index_dir, "term_stats_delta"))
+        term_stats = deltas.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+
     ds = spark.read.option(
         "basePath", os.path.join(index_dir, "doc_stats")
     ).parquet(os.path.join(index_dir, "doc_stats"))
     if "batch" in ds.columns:
         ds = ds.drop("batch")
+
+    bm_dir = os.path.join(index_dir, "block_meta")
     return InvertedIndex(
-        postings=idx.postings,
-        term_stats=idx.term_stats,
+        postings=postings,
+        term_stats=term_stats,
         doc_stats=ds,
-        n_docs=idx.n_docs,
-        avg_len=idx.avg_len,
-        positional=idx.positional,
-        stem=idx.stem,
+        n_docs=stats["n_docs"],
+        avg_len=stats["avg_len"],
+        positional=cfg["positional"],
+        stem=cfg["stem"],
+        block_size=cfg.get("block_size", DEFAULT_BLOCK_SIZE),
+        block_meta=spark.read.parquet(bm_dir) if os.path.isdir(bm_dir) else None,
     )
 
 
@@ -237,47 +303,49 @@ def reencode_blocks(
     spark: SparkSession,
     index_dir: str,
     *,
-    block_size: int = DEFAULT_BLOCK_SIZE,
+    block_size: int | None = None,
 ) -> None:
-    """Compaction: recompute every group's block upper bounds with the
-    FINAL avg_len so block-max WAND is valid over a streaming-built
-    index. Rewrites each posting group in place (blob bytes are
-    avg_len-independent and unchanged)."""
-    from ..operators.indexer import _make_encode_udf
+    """Compaction, as ONE Spark job over the whole index (no per-group
+    driver loop): merge duplicate (segment, term) posting rows left by
+    micro-batch boundaries (concatenating doc_ids/tfs/positions in
+    doc order — batches hold disjoint doc ranges, so this is the
+    merge_segments factor=1 aggregation) and recompute every blob and
+    block upper bound with the FINAL avg_len, making block-max WAND
+    bounds fresh. Also materializes term_stats and the narrow
+    block_meta table. Commits by directory swap (postings →
+    postings_old → removed); a crash mid-swap leaves postings_old as
+    the recovery copy."""
+    from ..operators.indexer import merge_segments
+    from ..operators.wand import block_meta_df
 
-    with open(_stats_path(index_dir)) as f:
-        stats = json.load(f)
-    ds = spark.read.option(
-        "basePath", os.path.join(index_dir, "doc_stats")
-    ).parquet(os.path.join(index_dir, "doc_stats"))
-    if "batch" in ds.columns:
-        ds = ds.drop("batch")
+    idx = load_streaming_index(spark, index_dir)
+    if block_size is None:
+        block_size = idx.block_size
+    # factor=1 keeps segment ids; the groupBy(segment, term) merges the
+    # per-batch duplicate rows and the encode UDF re-derives blob +
+    # blocks from the merged lists with the final avg_len
+    merged = merge_segments(idx, factor=1, block_size=block_size)
+
     pdir = os.path.join(index_dir, "postings")
-    enc_udf = _make_encode_udf(stats["avg_len"], block_size)
-    for group in os.listdir(pdir):
-        if not group.startswith("group="):
-            continue
-        gdir = os.path.join(pdir, group)
-        sp = spark.read.parquet(gdir)
-        exploded = sp.select(
-            "segment", "term", F.explode("doc_ids").alias("_d")
-        ).join(ds, F.col("_d") == ds.doc_id).groupBy("segment", "term").agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_d").alias("doc_id"), "doc_len"))
-            ).alias("_dl")
-        ).select("segment", "term", F.col("_dl.doc_len").alias("_doc_lens"))
-        enc = enc_udf(F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens"))
-        out = (
-            sp.join(exploded, ["segment", "term"])
-            .withColumn("_enc", enc)
-            .withColumn("blob", F.col("_enc.blob"))
-            .withColumn("block_starts", F.col("_enc.block_starts"))
-            .withColumn("block_ubs", F.col("_enc.block_ubs"))
-            .drop("_enc", "_doc_lens")
-        )
-        tmp = gdir + ".tmp"
-        out.write.mode("overwrite").parquet(tmp)
+    new_dir = pdir + ".new"
+    old_dir = pdir + ".old"
+    merged.postings.write.mode("overwrite").parquet(new_dir)
+
+    merged.term_stats.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "term_stats")
+    )
+    if os.path.isdir(old_dir):
         import shutil
 
-        shutil.rmtree(gdir)
-        os.rename(tmp, gdir)
+        shutil.rmtree(old_dir)
+    os.rename(pdir, old_dir)
+    os.rename(new_dir, pdir)
+    import shutil
+
+    shutil.rmtree(old_dir)
+
+    final = load_streaming_index(spark, index_dir)
+    final.block_meta = None  # derive fresh from the rewritten postings
+    block_meta_df(final).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "block_meta")
+    )

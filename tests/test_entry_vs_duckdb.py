@@ -16,6 +16,9 @@ import pytest
 import __spark_entry__ as E
 
 SF_DIR = os.environ.get("PSE_TEST_SF_DIR", "/root/testdata/sf0.001")
+# oracle_sql() keys its stemmed-token fixture on this env var (the
+# driver compares at sf0.01, its default); align it with this run's SF
+os.environ["PSE_TEST_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -128,3 +128,115 @@ def test_reencode_enables_wand(spark, split_input, tmp_path):
     b = [(r["doc_id"], round(r["score"], 9))
          for r in search_bm25(bidx, ["spark", "merge"], 10).collect()]
     assert a == b
+
+
+def test_streaming_wand_unaligned_batches(spark, tmp_path):
+    """Batch sizes deliberately NOT multiples of docs_per_segment: the
+    micro-batch boundary falls inside a segment, producing duplicate
+    (segment, term) posting rows. After reencode_blocks the duplicates
+    must be merged away and forced-prune WAND must be rank-identical
+    to a batch rebuild (the high-severity round-1 regression)."""
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "sidx_unaligned")
+    n = 500
+    docs = spark.range(n).select(
+        F.format_string("c%05d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.concat(
+            F.lit("alpha beta common "),
+            F.when(F.col("id") % 7 == 0, F.lit("rare spark merge ")).otherwise(F.lit("")),
+            F.lit("tail word"),
+        ).alias("text"),
+        F.col("id").alias("_id"),
+    )
+    # three batches of 137 / 211 / 152 docs (none a multiple of 100)
+    cuts = [(0, 137), (137, 348), (348, 500)]
+    for i, (lo, hi) in enumerate(cuts):
+        ingest_batch(
+            docs.filter((F.col("_id") >= lo) & (F.col("_id") < hi)).drop("_id"),
+            index_dir, i, stem=False, positional=False, docs_per_segment=100,
+        )
+    pre = load_streaming_index(spark, index_dir)
+    assert (
+        pre.postings.groupBy("segment", "term").count()
+        .filter(F.col("count") > 1).count() > 0
+    ), "fixture must actually produce duplicate (segment, term) rows"
+    reencode_blocks(spark, index_dir)
+    sidx = load_streaming_index(spark, index_dir)
+    assert (
+        sidx.postings.groupBy("segment", "term").count()
+        .filter(F.col("count") > 1).count() == 0
+    ), "reencode_blocks must merge duplicate rows"
+    bidx = build_index(
+        docs.select(F.col("_id").alias("doc_id"), "text"),
+        stem=False, positional=False, docs_per_segment=100,
+    )
+    for terms in (["rare", "common"], ["spark", "merge"], ["alpha"]):
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in bm25_topk_wand(sidx, terms, 10, force_prune=True).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in search_bm25(bidx, terms, 10).collect()]
+        assert a == b, terms
+
+
+def test_streaming_crash_before_manifest_replays_exactly(spark, split_input, tmp_path):
+    """The manifest is the single commit point: simulate a crash AFTER
+    the batch's data writes but BEFORE the manifest rename by deleting
+    the manifest, then replay the batch. Stats fold from manifests
+    only, so the replay re-ingests with the same base and the index
+    equals a batch rebuild (no doc_id shift, no double counting)."""
+    index_dir = str(tmp_path / "sidx_crash")
+    for i in range(2):
+        ingest_batch(
+            spark.read.parquet(os.path.join(split_input, f"{i:02d}.parquet")),
+            index_dir, i, stem=False, positional=True, docs_per_segment=200,
+        )
+    # crash window: batch 1's data is on disk but its manifest is not
+    os.remove(os.path.join(index_dir, "_manifest", "batch_1.json"))
+    sidx_partial = load_streaming_index(spark, index_dir)
+    assert sidx_partial.n_docs == spark.read.parquet(
+        os.path.join(split_input, "00.parquet")
+    ).count()  # uncommitted batch invisible to stats
+    # replay
+    ingest_batch(
+        spark.read.parquet(os.path.join(split_input, "01.parquet")),
+        index_dir, 1, stem=False, positional=True, docs_per_segment=200,
+    )
+    sidx = load_streaming_index(spark, index_dir)
+    bidx = build_index(
+        _expected_corpus(spark, split_input),
+        stem=False, positional=True, docs_per_segment=200,
+    )
+    assert sidx.n_docs == bidx.n_docs
+    assert abs(sidx.avg_len - bidx.avg_len) < 1e-9
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in search_bm25(sidx, ["spark", "merge"], 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9))
+         for r in search_bm25(bidx, ["spark", "merge"], 10).collect()]
+    assert a == b
+
+
+def test_streaming_ingest_never_rescans_prior_groups(spark, split_input, tmp_path):
+    """Per-batch ingest cost must be O(batch), not O(index): corrupt
+    batch 0's posting group and term_stats delta on disk — if batch 1's
+    ingest read ANY prior group (the round-1 behavior rebuilt global
+    term_stats from every group each batch), it would fail on the
+    garbage parquet. Success proves no rescan."""
+    index_dir = str(tmp_path / "sidx_noscan")
+    ingest_batch(
+        spark.read.parquet(os.path.join(split_input, "00.parquet")),
+        index_dir, 0, stem=False, positional=False, docs_per_segment=200,
+    )
+    for sub in ("postings/group=stream_0", "term_stats_delta/batch=0"):
+        d = os.path.join(index_dir, sub)
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                with open(os.path.join(d, name), "wb") as f:
+                    f.write(b"NOT A PARQUET FILE")
+    # must succeed without touching the corrupted group
+    ingest_batch(
+        spark.read.parquet(os.path.join(split_input, "01.parquet")),
+        index_dir, 1, stem=False, positional=False, docs_per_segment=200,
+    )
+    assert os.path.exists(os.path.join(index_dir, "_manifest", "batch_1.json"))
