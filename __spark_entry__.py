@@ -279,16 +279,34 @@ def q_postings(spark, sf):
 
 
 def q_compressed_size(spark, sf):
+    """B5-B7: delta+varint bytes vs naive 4-byte bytes, for BOTH the
+    doc_id posting blob and the per-(term,doc) position blob (position
+    lists compressed with delta reset per doc — SDM:184-199 parity)."""
     idx = _index(spark, sf, single_segment=True)
     return (
         idx.postings.select(
             "term",
             F.length("blob").cast("long").alias("blob_bytes"),
             (F.col("df") * 4).cast("long").alias("naive_bytes"),
+            F.length("pos_blob").cast("long").alias("pos_blob_bytes"),
+            (F.col("cf") * 4).cast("long").alias("pos_naive_bytes"),
         )
         .orderBy(F.desc("blob_bytes"), F.asc("term"))
         .limit(50)
     )
+
+
+def q_phrase_compressed(spark, sf):
+    """Q4 over COMPRESSED-ONLY positions: the raw `positions` column is
+    dropped so the plan must cut per-(term,doc) byte slices from
+    pos_blob via pos_offsets and partial-decode only candidate docs —
+    the exact plan a persisted index runs. Same oracle as
+    phrase_search."""
+    import dataclasses
+
+    idx = _index(spark, sf)
+    idx2 = dataclasses.replace(idx, postings=idx.postings.drop("positions"))
+    return Q.search_phrase(idx2, PHRASE)
 
 
 def q_dedup_exact(spark, sf):
@@ -544,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_scan_search": q_full_scan,
         "or_search": q_or,
         "phrase_search": q_phrase,
+        "phrase_search_compressed": q_phrase_compressed,
         "bm25_topk": q_bm25,
         "bm25_topk_stemmed": q_bm25_stemmed,
         "bm25_wand_topk": q_bm25_wand,
@@ -586,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "full_scan_search": S.sql_full_scan(AND_TERMS),
         "or_search": S.sql_or(OR_TERMS),
         "phrase_search": S.sql_phrase(PHRASE),
+        "phrase_search_compressed": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         # A3/A4 gate: the oracle reads a stemmed-token fixture built by
         # the shared pure-Python analyzer (DuckDB has no offline

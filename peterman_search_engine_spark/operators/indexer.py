@@ -61,7 +61,11 @@ from pyspark.sql.types import (
 )
 
 from ..functions.analysis import analyze_udf, tokens_expr
-from ..functions.codec import block_offsets, delta_varint_encode
+from ..functions.codec import (
+    block_offsets,
+    delta_varint_encode,
+    delta_varint_encode_grouped,
+)
 
 K1 = 1.2
 B = 0.75
@@ -76,6 +80,68 @@ _ENC_SCHEMA = StructType(
     ]
 )
 
+_ENC_SCHEMA_POS = StructType(
+    list(_ENC_SCHEMA.fields)
+    + [
+        StructField("pos_blob", BinaryType()),
+        StructField("pos_offsets", ArrayType(IntegerType())),
+    ]
+)
+
+
+def encode_positions(pos_lists) -> tuple[bytes, np.ndarray]:
+    """Compress one posting row's position lists: each doc's sorted
+    list delta+varint-encoded independently (delta resets per doc,
+    parity with SegmentInDiskManager.java:184-199), concatenated.
+    Returns (blob bytes, int32 array of df+1 byte offsets)."""
+    counts = np.fromiter((len(p) for p in pos_lists), np.int64, len(pos_lists))
+    if counts.sum() == 0:
+        return b"", np.zeros(len(counts) + 1, dtype=np.int32)
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    buf, offs = delta_varint_encode_grouped(flat, starts)
+    return buf.tobytes(), offs.astype(np.int32)
+
+
+def positions_decode_udf():
+    """pandas UDF (pos_blob, pos_offsets) -> positions array<array<int>>.
+    Used to re-expose the raw position lists of a PERSISTED index (the
+    checkpoint layout stores only the compressed blob); thanks to
+    Catalyst column pruning the decode runs only in plans that actually
+    select `positions` — the phrase path instead partial-decodes single
+    byte slices (operators.query.search_phrase)."""
+    from ..functions.codec import delta_varint_decode
+
+    @F.pandas_udf(ArrayType(ArrayType(IntegerType())))
+    def _dec(blobs: pd.Series, offs: pd.Series) -> pd.Series:
+        out = []
+        for blob, o in zip(blobs, offs):
+            if blob is None or o is None:
+                out.append(None)
+                continue
+            oa = np.asarray(o, dtype=np.int64)
+            out.append(
+                [
+                    delta_varint_decode(
+                        blob, int(oa[i]), int(oa[i + 1] - oa[i])
+                    ).astype(np.int32)
+                    for i in range(len(oa) - 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return _dec
+
+
+def with_positions(postings: DataFrame) -> DataFrame:
+    """Ensure a raw `positions` column exists, decoding the compressed
+    blob when the DataFrame came from the persisted layout."""
+    if "positions" in postings.columns:
+        return postings
+    return postings.withColumn(
+        "positions", positions_decode_udf()(F.col("pos_blob"), F.col("pos_offsets"))
+    )
+
 
 def _bm25_tf_part(tf: np.ndarray, doc_len: np.ndarray, avg_len: float) -> np.ndarray:
     """The per-(term,doc) BM25 factor EXCLUDING idf:
@@ -85,13 +151,16 @@ def _bm25_tf_part(tf: np.ndarray, doc_len: np.ndarray, avg_len: float) -> np.nda
     return tf * (K1 + 1) / (tf + K1 * (1 - B + B * doc_len / avg_len))
 
 
-def _make_encode_udf(avg_len: float, block_size: int):
-    @F.pandas_udf(_ENC_SCHEMA)
-    def _encode(doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series) -> pd.DataFrame:
-        blobs, starts_col, ubs_col = [], [], []
-        for ids, tf, dl in zip(doc_ids, tfs, doc_lens):
+def _make_encode_udf(avg_len: float, block_size: int, *, positional: bool = False):
+    schema = _ENC_SCHEMA_POS if positional else _ENC_SCHEMA
+
+    def _encode_rows(cols) -> pd.DataFrame:
+        doc_ids, tfs, doc_lens = cols[0], cols[1], cols[2]
+        positions = cols[3] if positional else None
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for i, (ids, tf, dl) in enumerate(zip(doc_ids, tfs, doc_lens)):
             ids_a = np.asarray(ids, dtype=np.int64)
-            blobs.append(delta_varint_encode(ids_a))
+            out["blob"].append(delta_varint_encode(ids_a))
             tf_a = np.asarray(tf, dtype=np.float64)
             dl_a = np.asarray(dl, dtype=np.float64)
             part = _bm25_tf_part(tf_a, dl_a, avg_len)
@@ -99,11 +168,30 @@ def _make_encode_udf(avg_len: float, block_size: int):
             for s, e in block_offsets(len(ids_a), block_size):
                 starts.append(int(ids_a[s]))
                 ubs.append(float(part[s:e].max()))
-            starts_col.append(starts)
-            ubs_col.append(ubs)
-        return pd.DataFrame(
-            {"blob": blobs, "block_starts": starts_col, "block_ubs": ubs_col}
-        )
+            out["block_starts"].append(starts)
+            out["block_ubs"].append(ubs)
+            if positional:
+                pb, po = encode_positions(positions[i])
+                out["pos_blob"].append(pb)
+                out["pos_offsets"].append(po)
+        return pd.DataFrame(out)
+
+    if positional:
+
+        @F.pandas_udf(schema)
+        def _encode(
+            doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series,
+            positions: pd.Series,
+        ) -> pd.DataFrame:
+            return _encode_rows((doc_ids, tfs, doc_lens, positions))
+
+    else:
+
+        @F.pandas_udf(schema)
+        def _encode(
+            doc_ids: pd.Series, tfs: pd.Series, doc_lens: pd.Series
+        ) -> pd.DataFrame:
+            return _encode_rows((doc_ids, tfs, doc_lens))
 
     return _encode
 
@@ -140,6 +228,11 @@ class InvertedIndex:
     # scan |postings|/block_size metadata rows without touching the
     # wide posting columns; derived lazily from postings when absent.
     block_meta: DataFrame | None = None
+    # True when `positions` is a decode-UDF projection over
+    # pos_blob/pos_offsets (loaded indexes) rather than a stored array
+    # column — the phrase path then partial-decodes byte slices instead
+    # of running the whole-column decode through the legacy array join.
+    positions_decoded: bool = False
 
     def num_segments(self) -> int:
         return self.postings.select("segment").distinct().count()
@@ -178,7 +271,21 @@ def _posting_schema(positional: bool) -> StructType:
         StructField("tfs", ArrayType(IntegerType())),
     ]
     if positional:
-        fields.append(StructField("positions", ArrayType(ArrayType(IntegerType()))))
+        fields += [
+            StructField("positions", ArrayType(ArrayType(IntegerType()))),
+            # compressed form of `positions`: each (term, doc)'s sorted
+            # position list delta+varint-encoded independently (delta
+            # resets per doc — parity with the reference's per-(term,doc)
+            # position-list compression, SegmentInDiskManager.java:184-199),
+            # concatenated into one blob per posting row. pos_offsets
+            # holds df+1 byte offsets — the columnar analogue of the
+            # reference's 10-byte position meta slots (posPage/posOffset/
+            # posByteLength, SDM:36, 187-193) enabling PARTIAL decode of a
+            # single doc's slice. The persisted layout stores ONLY the
+            # blob (checkpoint drops the raw arrays).
+            StructField("pos_blob", BinaryType()),
+            StructField("pos_offsets", ArrayType(IntegerType())),
+        ]
     fields += [
         StructField("blob", BinaryType()),
         StructField("block_starts", ArrayType(LongType())),
@@ -287,6 +394,12 @@ def postings_from_tokens(
                 out["positions"].append(
                     np.split(poss[row_s:row_e], bounds)
                 )
+                pbuf, poffs = delta_varint_encode_grouped(
+                    poss[row_s:row_e].astype(np.int64),
+                    np.concatenate(([0], bounds)),
+                )
+                out["pos_blob"].append(pbuf.tobytes())
+                out["pos_offsets"].append(poffs.astype(np.int32))
             out["blob"].append(delta_varint_encode(ids))
             out["block_starts"].append(starts)
             out["block_ubs"].append(ubs)
@@ -528,6 +641,35 @@ def _build_group_arrow(
         cols["positions"] = pa.ListArray.from_arrays(
             pa.array(pair_offs, pa.int32()), inner
         )
+        # compressed positions: ONE grouped varint pass over the whole
+        # segment's position stream (delta resets at every (term, doc)
+        # pair), then zero-copy slicing into per-term blobs + per-pair
+        # byte offsets (the reference's position meta slots, SDM:187-193)
+        pos_buf, pos_b = delta_varint_encode_grouped(
+            poss.astype(np.int64), pstart
+        )
+        cols["pos_blob"] = pa.Array.from_buffers(
+            pa.binary(),
+            T,
+            [
+                None,
+                pa.py_buffer(
+                    np.append(pos_b[tstart], pos_b[-1]).astype(np.int32)
+                ),
+                pa.py_buffer(pos_buf),
+            ],
+        )
+        # per-term list of df+1 byte offsets, relative to the term's
+        # blob start: entry k of term t is pos_b[tstart[t]+k] - pos_b[tstart[t]]
+        po_counts = (df + 1).astype(np.int64)
+        po_loffs = np.concatenate(([0], np.cumsum(po_counts)))
+        po_tid = np.repeat(np.arange(T), po_counts)
+        po_k = np.arange(po_loffs[-1]) - po_loffs[po_tid]
+        po_vals = pos_b[tstart[po_tid] + po_k] - pos_b[tstart[po_tid]]
+        cols["pos_offsets"] = pa.ListArray.from_arrays(
+            pa.array(po_loffs, pa.int32()),
+            pa.array(po_vals.astype(np.int32), pa.int32()),
+        )
     cols["blob"] = pa.Array.from_buffers(
         pa.binary(),
         T,
@@ -640,6 +782,12 @@ def _build_group(
             row_s, row_e = pstart[s], pend[e - 1]
             bounds = pstart[s + 1:e] - row_s
             out["positions"].append(np.split(poss[row_s:row_e], bounds))
+            pbuf, poffs = delta_varint_encode_grouped(
+                poss[row_s:row_e].astype(np.int64),
+                np.concatenate(([0], bounds)),
+            )
+            out["pos_blob"].append(pbuf.tobytes())
+            out["pos_offsets"].append(poffs.astype(np.int32))
         out["blob"].append(delta_varint_encode(ids))
         out["block_starts"].append(bstarts)
         out["block_ubs"].append(ubs)
@@ -699,16 +847,14 @@ def postings_from_tokens_agg(
     cols.append(F.col("plist.doc_len").alias("_doc_lens"))
     seg_postings = seg_postings.select(*cols)
 
-    enc = _make_encode_udf(avg_len, block_size)(
-        F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")
-    )
-    return (
-        seg_postings.withColumn("_enc", enc)
-        .withColumn("blob", F.col("_enc.blob"))
-        .withColumn("block_starts", F.col("_enc.block_starts"))
-        .withColumn("block_ubs", F.col("_enc.block_ubs"))
-        .drop("_enc", "_doc_lens")
-    )
+    enc_cols = [F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")]
+    if positional:
+        enc_cols.append(F.col("positions"))
+    enc = _make_encode_udf(avg_len, block_size, positional=positional)(*enc_cols)
+    out = seg_postings.withColumn("_enc", enc)
+    for f in (_ENC_SCHEMA_POS if positional else _ENC_SCHEMA).fields:
+        out = out.withColumn(f.name, F.col(f"_enc.{f.name}"))
+    return out.select([f.name for f in _posting_schema(positional).fields])
 
 
 def build_index(
@@ -783,7 +929,10 @@ def merge_segments(
     """
     if block_size is None:
         block_size = index.block_size
-    p = index.postings.withColumn(
+    p = index.postings
+    if index.positional:
+        p = with_positions(p)  # loaded indexes carry only the compressed blob
+    p = p.withColumn(
         "segment", (F.col("segment") / F.lit(factor)).cast("long")
     )
     part_fields = ["doc_ids", "tfs"] + (["positions"] if index.positional else [])
@@ -819,16 +968,16 @@ def merge_segments(
         .select("segment", "term", F.col("_dl.doc_len").alias("_doc_lens"))
     )
     merged = merged.join(with_len, ["segment", "term"])
-    enc = _make_encode_udf(index.avg_len, block_size)(
-        F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")
+    enc_cols = [F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")]
+    if index.positional:
+        enc_cols.append(F.col("positions"))
+    enc = _make_encode_udf(index.avg_len, block_size, positional=index.positional)(
+        *enc_cols
     )
-    merged = (
-        merged.withColumn("_enc", enc)
-        .withColumn("blob", F.col("_enc.blob"))
-        .withColumn("block_starts", F.col("_enc.block_starts"))
-        .withColumn("block_ubs", F.col("_enc.block_ubs"))
-        .drop("_enc", "_doc_lens")
-    )
+    merged = merged.withColumn("_enc", enc)
+    for f in (_ENC_SCHEMA_POS if index.positional else _ENC_SCHEMA).fields:
+        merged = merged.withColumn(f.name, F.col(f"_enc.{f.name}"))
+    merged = merged.select([f.name for f in _posting_schema(index.positional).fields])
     return InvertedIndex(
         postings=merged,
         term_stats=index.term_stats,

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,10 +88,17 @@ def search_phrase(index: InvertedIndex, phrase: list[str]) -> DataFrame:
     Reference semantics (IIM:360-460): analyzer applied to the joined
     phrase (stop words removed SHIFT positions — positions are indexes
     in the filtered token list); doc matches iff exists p in
-    pos(tok_0) with p+j in pos(tok_j) for all j. Implemented as an
-    n-way join of per-term (doc_id, positions) restricted to query
-    terms, with the consecutive test as pure array expressions
-    (JVM-side): exists(p0, p -> array_contains(pj, p+j) for all j).
+    pos(tok_0) with p+j in pos(tok_j) for all j.
+
+    When the index carries compressed positions (pos_blob/pos_offsets —
+    always true for persisted indexes, whose on-disk layout stores ONLY
+    the blob), the plan PARTIAL-DECODES: candidate docs are computed
+    from doc_ids alone (the AND semi-join), per-(term,doc) byte slices
+    are cut JVM-side from the blob via the stored offsets (the
+    reference's position-meta-slot lookup, SDM:187-193, 327-341), and
+    only the candidates' slices cross into the Arrow decode UDF —
+    decode volume is |candidates|·|phrase|, not Σ df(term). Otherwise
+    falls back to the pure-JVM array-column join.
     """
     if not index.positional:
         raise ValueError("phrase search requires a positional index (IIM:364-366)")
@@ -98,14 +107,74 @@ def search_phrase(index: InvertedIndex, phrase: list[str]) -> DataFrame:
     if not toks:
         return spark.createDataFrame([], "doc_id long")
     p = _postings_for(index, toks)
-    per_term = p.select(
-        "term",
-        F.explode(F.arrays_zip("doc_ids", "positions")).alias("_z"),
-    ).select(
-        "term",
-        F.col("_z.doc_ids").alias("doc_id"),
-        F.col("_z.positions").alias("positions"),
+    # dispatch: raw stored arrays (in-memory build) -> pure-JVM array
+    # join; compressed-only or decode-projected positions (persisted
+    # index) -> partial decode of candidate byte slices
+    use_partial = "pos_blob" in p.columns and (
+        "positions" not in p.columns
+        or getattr(index, "positions_decoded", False)
     )
+    if use_partial:
+        per_term = _phrase_positions_partial_decode(p, toks)
+    else:
+        per_term = p.select(
+            "term",
+            F.explode(F.arrays_zip("doc_ids", "positions")).alias("_z"),
+        ).select(
+            "term",
+            F.col("_z.doc_ids").alias("doc_id"),
+            F.col("_z.positions").alias("positions"),
+        )
+    return _phrase_join(per_term, toks)
+
+
+def _phrase_positions_partial_decode(p: DataFrame, toks: list[str]) -> DataFrame:
+    """(term, doc_id, positions) for CANDIDATE docs only: AND-intersect
+    on doc_ids, slice each candidate's position bytes out of pos_blob
+    with the stored per-doc offsets (JVM substring — no decode), then
+    varint-decode just those slices in one Arrow UDF."""
+    uniq = sorted(set(toks))
+    cand = (
+        p.select("term", F.explode("doc_ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_n"))
+        .filter(F.col("_n") == len(uniq))
+        .select("doc_id")
+    )
+    # per-(term, doc) byte slice, cut JVM-side (substring on binary is
+    # 1-based; pos_offsets holds df+1 byte offsets per posting row)
+    pairs = p.select(
+        "term",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(doc_ids)-1), i -> struct("
+                "doc_ids[i] as doc_id, "
+                "substring(pos_blob, pos_offsets[i]+1, "
+                "pos_offsets[i+1]-pos_offsets[i]) as pslice))"
+            )
+        ).alias("_z"),
+    ).select("term", F.col("_z.doc_id").alias("doc_id"), F.col("_z.pslice").alias("_s"))
+    hits = pairs.join(cand, "doc_id")  # partial decode: candidates only
+
+    from ..functions.codec import delta_varint_decode
+
+    @F.pandas_udf("array<int>")
+    def _dec(slices: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                delta_varint_decode(bytes(s)).astype(np.int32)
+                if s is not None
+                else None
+                for s in slices
+            ]
+        )
+
+    return hits.select("term", "doc_id", _dec(F.col("_s")).alias("positions"))
+
+
+def _phrase_join(per_term: DataFrame, toks: list[str]) -> DataFrame:
+    """n-way join of per-(term,doc) position lists + the pos+j offset
+    test (IIM:424-435) as JVM array expressions."""
     parts = []
     for j, t in enumerate(toks):
         parts.append(

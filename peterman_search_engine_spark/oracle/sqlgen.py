@@ -227,7 +227,10 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def sql_compressed_size(limit: int) -> str:
-    """Varint byte size of each term's delta-encoded posting list —
+    """Varint byte size of each term's delta-encoded posting list AND
+    of its per-(term,doc) delta-encoded position lists (the delta
+    resets at every doc, mirroring the engine's pos_blob layout and
+    the reference's per-position-list compression, SDM:184-199) —
     computed arithmetically (exact thresholds, no float log)."""
     return f"""WITH {TOKS_CTE},
 posting AS (SELECT tok AS term, doc_id FROM toks GROUP BY 1, 2),
@@ -242,10 +245,32 @@ bytes AS (
               WHEN d < 2097152 THEN 3 WHEN d < 268435456 THEN 4
               ELSE 5 END AS nb
   FROM deltas
+),
+docb AS (
+  SELECT term, CAST(sum(nb) AS BIGINT) AS blob_bytes,
+         CAST(count(*) * 4 AS BIGINT) AS naive_bytes
+  FROM bytes GROUP BY term
+),
+posdeltas AS (
+  SELECT tok AS term,
+         pos - coalesce(lag(pos) OVER (PARTITION BY tok, doc_id ORDER BY pos), 0) AS d
+  FROM toks
+),
+posbytes AS (
+  SELECT term,
+         CASE WHEN d < 128 THEN 1 WHEN d < 16384 THEN 2
+              WHEN d < 2097152 THEN 3 WHEN d < 268435456 THEN 4
+              ELSE 5 END AS nb
+  FROM posdeltas
+),
+posb AS (
+  SELECT term, CAST(sum(nb) AS BIGINT) AS pos_blob_bytes,
+         CAST(count(*) * 4 AS BIGINT) AS pos_naive_bytes
+  FROM posbytes GROUP BY term
 )
-SELECT term, CAST(sum(nb) AS BIGINT) AS blob_bytes, CAST(count(*) * 4 AS BIGINT) AS naive_bytes
-FROM bytes GROUP BY term
-ORDER BY blob_bytes DESC, term LIMIT {limit}"""
+SELECT docb.term, blob_bytes, naive_bytes, pos_blob_bytes, pos_naive_bytes
+FROM docb JOIN posb ON docb.term = posb.term
+ORDER BY blob_bytes DESC, docb.term LIMIT {limit}"""
 
 
 def sql_dedup_exact() -> str:

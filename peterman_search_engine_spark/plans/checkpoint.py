@@ -43,6 +43,7 @@ from ..operators.indexer import (
     InvertedIndex,
     postings_from_corpus,
 )
+from .storage import TableStore
 
 
 def _manifest_path(index_dir: str, group: int) -> str:
@@ -71,8 +72,15 @@ def build_index_checkpointed(
     docs_per_segment: int = 100_000,
     segments_per_group: int = 8,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    store: TableStore | None = None,
 ) -> dict:
     """Build (or resume building) a persisted index at ``index_dir``.
+
+    All table IO goes through the :class:`~..plans.storage.TableStore`
+    seam — Iceberg snapshot commits when the runtime jar is present,
+    parquet directories plus this module's JSON-manifest commit
+    protocol otherwise (the shipped sandbox mode). The lineage manifest
+    is written in BOTH modes (it is audit metadata, not data).
 
     Returns the build report: {"groups_total", "groups_built",
     "groups_skipped", "manifest"}. Call :func:`load_index` afterwards.
@@ -85,6 +93,8 @@ def build_index_checkpointed(
     job whose failure loses only that group.
     """
     spark = corpus.sparkSession
+    if store is None:
+        store = TableStore(spark, index_dir)
     os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
 
     stats_path = os.path.join(index_dir, "stats.json")
@@ -96,8 +106,8 @@ def build_index_checkpointed(
         doc_stats = corpus.select(
             "doc_id", F.size(tokens_expr("text")).alias("doc_len")
         )
-        doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
-        doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        store.write(doc_stats, "doc_stats")
+        doc_stats = store.read("doc_stats")
         row = doc_stats.agg(
             F.count("*").alias("n"),
             F.avg("doc_len").alias("avg"),
@@ -142,19 +152,31 @@ def build_index_checkpointed(
             docs_per_segment=stats["docs_per_segment"],
             block_size=stats.get("block_size", block_size),
         )
-        gdir = os.path.join(index_dir, "postings", f"group={g}")
-        sp.write.mode("overwrite").parquet(gdir)
+        # persisted layout stores positions ONLY as the delta+varint
+        # blob (pos_blob/pos_offsets) — parity with the reference's
+        # compressed position file (SegmentInDiskManager.java:184-199);
+        # load_index re-exposes a lazily-decoded `positions` column
+        if positional:
+            sp = sp.drop("positions")
+        # idempotent per-group commit: Iceberg dynamic partition
+        # overwrite (snapshot) or parquet group-directory overwrite
+        store.write_partition(sp, "postings", "group", g)
         # audit metrics from the durable output (not the plan)
-        written = spark.read.parquet(gdir)
+        written = store.read("postings").filter(F.col("group") == g)
         agg = written.agg(
             F.count("*").alias("rows"),
             F.sum("df").alias("entries"),
             F.sum(F.length("blob")).alias("blob_bytes"),
         ).collect()[0]
-        fsize = sum(
-            os.path.getsize(os.path.join(gdir, f))
-            for f in os.listdir(gdir)
-            if f.endswith(".parquet")
+        gdir = os.path.join(index_dir, "postings", f"group={g}")
+        fsize = (
+            sum(
+                os.path.getsize(os.path.join(gdir, f))
+                for f in os.listdir(gdir)
+                if f.endswith(".parquet")
+            )
+            if store.mode == "parquet"
+            else 0  # iceberg: byte accounting lives in snapshot summaries
         )
         row = {
             "group": g,
@@ -178,13 +200,14 @@ def build_index_checkpointed(
     # term_stats + block_meta: derived once after all groups exist
     # (cheap: inputs are (segment, term)-level rows / narrow metadata
     # columns). Rewritten on any new group.
-    if built > 0 or not os.path.isdir(os.path.join(index_dir, "term_stats")):
-        allp = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
-            os.path.join(index_dir, "postings")
+    if built > 0 or not store.exists("term_stats"):
+        allp = store.read("postings")
+        store.write(
+            allp.groupBy("term").agg(
+                F.sum("df").alias("df"), F.sum("cf").alias("cf")
+            ),
+            "term_stats",
         )
-        allp.groupBy("term").agg(
-            F.sum("df").alias("df"), F.sum("cf").alias("cf")
-        ).write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
         # narrow per-block metadata for WAND's prune phase: the prune
         # scans these |postings|/block_size rows instead of the wide
         # posting table (blob/doc_ids never touched until decode)
@@ -196,9 +219,7 @@ def build_index_checkpointed(
             term_stats=None, doc_stats=None, n_docs=0, avg_len=0.0,
             positional=stats["positional"], stem=stats["stem"],
         )
-        block_meta_df(shell).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "block_meta")
-        )
+        store.write(block_meta_df(shell), "block_meta")
 
     return {
         "groups_total": n_groups,
@@ -208,27 +229,40 @@ def build_index_checkpointed(
     }
 
 
-def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
-    """Open a persisted index. Postings come back as a plain parquet
-    scan, so query-side term filters push down to the scan."""
+def load_index(
+    spark: SparkSession, index_dir: str, *, store: TableStore | None = None
+) -> InvertedIndex:
+    """Open a persisted index through the storage seam (Iceberg table
+    scans or plain parquet scans — either way query-side term filters
+    push down to the scan)."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
-    postings = spark.read.option(
-        "basePath", os.path.join(index_dir, "postings")
-    ).parquet(os.path.join(index_dir, "postings")).drop("group")
-    bm_dir = os.path.join(index_dir, "block_meta")
+    if store is None:
+        store = TableStore(spark, index_dir)
+    postings = store.read("postings").drop("group")
+    positions_decoded = False
+    if stats["positional"] and "positions" not in postings.columns:
+        # the on-disk layout holds only the compressed blob; expose the
+        # decoded column for dump/merge consumers — column pruning keeps
+        # the decode out of every plan that doesn't select it (the
+        # phrase path partial-decodes byte slices instead)
+        from ..operators.indexer import with_positions
+
+        postings = with_positions(postings)
+        positions_decoded = True
     from ..operators.indexer import DEFAULT_BLOCK_SIZE
 
     return InvertedIndex(
         postings=postings,
-        term_stats=spark.read.parquet(os.path.join(index_dir, "term_stats")),
-        doc_stats=spark.read.parquet(os.path.join(index_dir, "doc_stats")),
+        term_stats=store.read("term_stats"),
+        doc_stats=store.read("doc_stats"),
         n_docs=stats["n_docs"],
         avg_len=stats["avg_len"],
         positional=stats["positional"],
         stem=stats["stem"],
         block_size=stats.get("block_size", DEFAULT_BLOCK_SIZE),
-        block_meta=spark.read.parquet(bm_dir) if os.path.isdir(bm_dir) else None,
+        block_meta=store.read("block_meta") if store.exists("block_meta") else None,
+        positions_decoded=positions_decoded,
     )
 
 

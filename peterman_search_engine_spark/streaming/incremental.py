@@ -172,6 +172,10 @@ def ingest_batch(
         block_size=cfg["block_size"],
     )
     gdir = os.path.join(index_dir, "postings", f"group=stream_{batch_id}")
+    if cfg["positional"]:
+        # same persisted contract as plans.checkpoint: positions live
+        # on disk only as the per-(term,doc) delta+varint blob
+        sp = sp.drop("positions")
     sp.write.mode("overwrite").parquet(gdir)
     toks.select("doc_id", F.size("tokens").alias("doc_len")).write.mode(
         "overwrite"
@@ -267,6 +271,12 @@ def load_streaming_index(spark: SparkSession, index_dir: str):
     ).parquet(os.path.join(index_dir, "postings"))
     if "group" in postings.columns:
         postings = postings.drop("group")
+    positions_decoded = False
+    if cfg["positional"] and "positions" not in postings.columns:
+        from ..operators.indexer import with_positions
+
+        postings = with_positions(postings)
+        positions_decoded = True
 
     ts_dir = os.path.join(index_dir, "term_stats")
     if os.path.isdir(ts_dir):
@@ -296,6 +306,7 @@ def load_streaming_index(spark: SparkSession, index_dir: str):
         stem=cfg["stem"],
         block_size=cfg.get("block_size", DEFAULT_BLOCK_SIZE),
         block_meta=spark.read.parquet(bm_dir) if os.path.isdir(bm_dir) else None,
+        positions_decoded=positions_decoded,
     )
 
 
@@ -329,7 +340,10 @@ def reencode_blocks(
     pdir = os.path.join(index_dir, "postings")
     new_dir = pdir + ".new"
     old_dir = pdir + ".old"
-    merged.postings.write.mode("overwrite").parquet(new_dir)
+    out = merged.postings
+    if merged.positional:
+        out = out.drop("positions")  # persisted contract: compressed only
+    out.write.mode("overwrite").parquet(new_dir)
 
     merged.term_stats.write.mode("overwrite").parquet(
         os.path.join(index_dir, "term_stats")
