@@ -101,6 +101,19 @@ def main() -> None:
         fn = qmap[name]
         timed(name, lambda f=fn: f(spark, sf_dir).collect())
 
+    # PageRank at the reference's full 100-iteration budget
+    # (IcsSearchEngineTest.java:33-54 runs index + PageRank(100) + 3
+    # queries in <=900 s; this row tracks the analogous wall time)
+    def _pr100():
+        from peterman_search_engine_spark.operators.pagerank import pagerank
+        from peterman_search_engine_spark.sources.graph import generate_edges
+        from pyspark.sql import functions as F
+
+        n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        pagerank(generate_edges(spark, n), 100).agg(F.max("pr")).collect()
+
+    timed("pagerank_100iter", _pr100)
+
     # --- p95 TOP-K QUERY latency (the north-rule metric): repeated
     # runs of the ranked/boolean retrieval queries against the warm
     # index — NOT the analytics suite above.
