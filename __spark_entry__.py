@@ -357,19 +357,19 @@ def q_ann_cosine(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    """LSH-bucketed ANN in ONE pass: the query's bucket is computed
+    driver-side from the deterministic integer planes (no Spark job),
+    and bucket assignment + probe filter + exact cosine fuse into a
+    single scan of the table."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qv = _query_vec(spark, sf)
-    buckets = SIM.lsh_buckets(emb, dim=len(qv))
-    qbucket = buckets.filter(F.col("vec_id") == 0).collect()[0]["bucket"]
-    cand = buckets.filter(
-        (F.col("bucket") == qbucket) & (F.col("vec_id") != 0)
-    ).select("vec_id")
-    scored = (
-        emb.join(cand, "vec_id")
-        .select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            SIM.cosine(F.col("embedding"), F.array(*[F.lit(v) for v in qv])).alias("cos"),
-        )
+    qb = SIM.query_bucket(qv)
+    scored = emb.filter(
+        (SIM.bucket_expr(F.col("embedding"), len(qv)) == qb)
+        & (F.col("vec_id") != 0)
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        SIM.cosine(F.col("embedding"), F.array(*[F.lit(v) for v in qv])).alias("cos"),
     )
     return (
         scored.withColumn("cos_e6", _e6(F.col("cos")))

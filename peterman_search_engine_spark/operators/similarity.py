@@ -162,6 +162,23 @@ def embedding_neardup_pairs(
     )
 
 
+def query_bucket(query_vec: list[float], num_planes: int = NUM_PLANES) -> int:
+    """The LSH bucket of a literal query vector, computed driver-side
+    from the deterministic integer planes — no Spark job."""
+    qbucket = 0
+    for p in range(num_planes):
+        dot = sum(plane_component(p, i) * float(v) for i, v in enumerate(query_vec))
+        if round(dot * 1_000_000) > 0:
+            qbucket |= 1 << p
+    return qbucket
+
+
+def bucket_expr(vec_col: Column, dim: int, num_planes: int = NUM_PLANES) -> Column:
+    """Public form of the signature expression (for fused probe scans
+    and bucketed table writes)."""
+    return _bucket_expr(vec_col, dim, num_planes)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -175,11 +192,7 @@ def lsh_bucketed_topk(
     """ANN: restrict the exact scan to the query's LSH bucket.
     Returns (vec_id, cos double) ordered by (-cos, vec_id)."""
     dim = len(query_vec)
-    qbucket = 0
-    for p in range(num_planes):
-        dot = sum(plane_component(p, i) * float(v) for i, v in enumerate(query_vec))
-        if round(dot * 1_000_000) > 0:
-            qbucket |= 1 << p
+    qbucket = query_bucket(query_vec, num_planes)
     with_b = embeddings.withColumn(
         "_bucket", _bucket_expr(F.col(vec_col), dim, num_planes)
     ).filter(F.col("_bucket") == qbucket)

@@ -64,20 +64,36 @@ def main() -> None:
     )
 
     # --- contract: word-break a ~900-char no-space string <= 20 s
+    # (WordBreakTokenizerTest.java:24-45 uses the full 82,765-word
+    # dictionary; use it when the reference tree is present, else the
+    # demo dict)
+    import os
+
+    ref_dict = "/root/reference/src/main/resources/cs221_frequency_dictionary_en.txt"
+    if os.path.exists(ref_dict):
+        from peterman_search_engine_spark.functions.wordbreak import (
+            load_frequency_dict,
+        )
+
+        freq = load_frequency_dict(ref_dict)
+        dict_label = f"DP, {len(freq)}-word reference dict"
+    else:
+        freq = DEMO_FREQ
+        dict_label = "DP, demo dict"
     words, s = [], ""
     i = 0
-    vocab = sorted(DEMO_FREQ)
+    vocab = sorted(w for w in freq if len(w) > 2)
     while len(s) < 900:
         w = vocab[(i * 37) % len(vocab)]
         words.append(w)
         s += w
         i += 1
     t0 = time.perf_counter()
-    toks = word_break(s, DEMO_FREQ)
+    toks = word_break(s, freq)
     dt = time.perf_counter() - t0
     assert toks, "word break produced nothing"
     rows.append(
-        (f"word-break {len(s)}-char no-space string", "DP, demo dict", 20.0, dt)
+        (f"word-break {len(s)}-char no-space string", dict_label, 20.0, dt)
     )
 
     # --- contract: index corpus + PageRank(100 iters) + 3 combined
