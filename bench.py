@@ -69,9 +69,11 @@ def main() -> None:
         doc_stats.write.mode("overwrite").parquet("/tmp/pse_bench_docstats")
         ds = spark.read.parquet("/tmp/pse_bench_docstats")
         avg = float(ds.agg(F.avg("doc_len")).collect()[0][0] or 0.0)
-        # zero-shuffle: segment = input partition (doc_id range)
+        # zero-shuffle: segment = input partition (doc_id range);
+        # positions go to disk compressed-only (persisted contract)
         postings_from_aligned_corpus(
-            corpus, avg_len=avg, stem=True, positional=True
+            corpus, avg_len=avg, stem=True, positional=True,
+            raw_positions=False,
         ).write.mode("overwrite").parquet("/tmp/pse_bench_postings")
         spark.read.parquet("/tmp/pse_bench_postings").groupBy("term").agg(
             F.sum("df").alias("df"), F.sum("cf").alias("cf")

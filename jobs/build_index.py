@@ -111,12 +111,15 @@ def main() -> None:
         avg_len = float(row["avg"] or 0.0)
         tp = time.perf_counter()
         # 2. postings: ZERO-SHUFFLE fused build — segment = input
-        # partition (doc_id range from the prep repartitionByRange)
+        # partition (doc_id range from the prep repartitionByRange).
+        # raw_positions=False: the persisted contract stores positions
+        # compressed-only, so the nested array column is never built
         postings_from_aligned_corpus(
             corpus,
             avg_len=avg_len,
             stem=not args.no_stem,
             positional=not args.no_positional,
+            raw_positions=False,
         ).write.mode("overwrite").parquet(os.path.join(args.output, "postings"))
         phases["postings"] = round(time.perf_counter() - tp, 2)
         tp = time.perf_counter()

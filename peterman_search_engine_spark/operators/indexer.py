@@ -261,7 +261,7 @@ def tokenize_corpus(corpus: DataFrame, *, stem: bool = True) -> DataFrame:
 DEFAULT_TERM_BUCKETS = 32
 
 
-def _posting_schema(positional: bool) -> StructType:
+def _posting_schema(positional: bool, raw_positions: bool = True) -> StructType:
     fields = [
         StructField("segment", LongType()),
         StructField("term", StringType()),
@@ -271,8 +271,9 @@ def _posting_schema(positional: bool) -> StructType:
         StructField("tfs", ArrayType(IntegerType())),
     ]
     if positional:
-        fields += [
+        fields += ([
             StructField("positions", ArrayType(ArrayType(IntegerType()))),
+        ] if raw_positions else []) + [
             # compressed form of `positions`: each (term, doc)'s sorted
             # position list delta+varint-encoded independently (delta
             # resets per doc — parity with the reference's per-(term,doc)
@@ -312,6 +313,7 @@ def postings_from_tokens(
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     block_size: int = DEFAULT_BLOCK_SIZE,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
+    raw_positions: bool = True,
 ) -> DataFrame:
     """Posting construction: ONE shuffle on (segment, term-bucket)
     followed by an Arrow ``applyInPandas`` that builds every posting
@@ -342,7 +344,7 @@ def postings_from_tokens(
         "tb", F.pmod(F.hash("term"), F.lit(term_buckets))
     )
 
-    schema = _posting_schema(positional)
+    schema = _posting_schema(positional, raw_positions)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -391,9 +393,10 @@ def postings_from_tokens(
                 # positions of the term's rows, split at pair bounds
                 row_s, row_e = pstart[s], pend[e - 1]
                 bounds = pstart[s + 1:e] - row_s
-                out["positions"].append(
-                    np.split(poss[row_s:row_e], bounds)
-                )
+                if raw_positions:
+                    out["positions"].append(
+                        np.split(poss[row_s:row_e], bounds)
+                    )
                 pbuf, poffs = delta_varint_encode_grouped(
                     poss[row_s:row_e].astype(np.int64),
                     np.concatenate(([0], bounds)),
@@ -416,11 +419,14 @@ def postings_from_corpus(
     positional: bool = True,
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    raw_positions: bool = True,
 ) -> DataFrame:
     """Fully-fused posting construction: shuffle RAW (doc_id, text)
     rows by segment, then ONE applyInPandas per segment does
     tokenize + stop-filter + stem + posting assembly + varint encode
-    in a single Python pass.
+    in a single Python pass. ``raw_positions=False`` skips building
+    the nested position arrays entirely (compressed blob only — the
+    persisted contract).
 
     vs ``postings_from_tokens``: the shuffle moves |docs| compact text
     rows instead of |tokens| exploded rows (~15× fewer at transcript
@@ -449,7 +455,7 @@ def postings_from_corpus(
         sc.defaultParallelism * 4,
     )
     part = part.repartition(nparts, "segment")
-    schema = _posting_schema(positional)
+    schema = _posting_schema(positional, raw_positions)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         return _build_group(
@@ -459,6 +465,7 @@ def postings_from_corpus(
             avg_len=avg_len,
             block_size=block_size,
             schema=schema,
+            raw_positions=raw_positions,
         )
 
     return part.groupBy("segment").applyInPandas(_build, schema)
@@ -471,6 +478,7 @@ def postings_from_aligned_corpus(
     stem: bool = True,
     positional: bool = True,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    raw_positions: bool = True,
 ) -> DataFrame:
     """ZERO-SHUFFLE posting construction: requires the corpus to be
     partitioned into disjoint doc_id ranges — the invariant the docmap
@@ -494,8 +502,15 @@ def postings_from_aligned_corpus(
     per-posting Python object ever exists on the output path — the
     pandas route (list-of-numpy-arrays cells -> ``pa.Table.from_pandas``
     element walk) was ~60% of the posting phase's CPU at 6M turns.
+
+    ``raw_positions=False`` omits the raw ``positions`` column from the
+    output (compressed ``pos_blob``/``pos_offsets`` only — the
+    persisted contract): producing the ListArray itself is zero-copy,
+    but the Arrow->row conversion of a nested array column whose bytes
+    are then dropped on write is pure overhead — use False whenever the
+    output goes straight to disk.
     """
-    schema = _posting_schema(positional)
+    schema = _posting_schema(positional, raw_positions)
 
     def _build_part(batches):
         from pyspark import TaskContext
@@ -515,6 +530,7 @@ def postings_from_aligned_corpus(
             positional=positional,
             avg_len=avg_len,
             block_size=block_size,
+            raw_positions=raw_positions,
         )
         if out is not None:
             yield out
@@ -531,6 +547,7 @@ def _build_group_arrow(
     positional: bool,
     avg_len: float,
     block_size: int,
+    raw_positions: bool = True,
 ):
     """One segment's posting rows as a pyarrow RecordBatch built from
     flat buffers + offsets (no per-element Python on the output path).
@@ -634,13 +651,14 @@ def _build_group_arrow(
         ),
     }
     if positional:
-        inner = pa.ListArray.from_arrays(
-            pa.array(np.append(pstart, total).astype(np.int64), pa.int32()),
-            pa.array(poss, pa.int32()),
-        )
-        cols["positions"] = pa.ListArray.from_arrays(
-            pa.array(pair_offs, pa.int32()), inner
-        )
+        if raw_positions:
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.append(pstart, total).astype(np.int64), pa.int32()),
+                pa.array(poss, pa.int32()),
+            )
+            cols["positions"] = pa.ListArray.from_arrays(
+                pa.array(pair_offs, pa.int32()), inner
+            )
         # compressed positions: ONE grouped varint pass over the whole
         # segment's position stream (delta resets at every (term, doc)
         # pair), then zero-copy slicing into per-term blobs + per-pair
@@ -692,6 +710,7 @@ def _build_group(
     avg_len: float,
     block_size: int,
     schema: StructType,
+    raw_positions: bool = True,
 ) -> pd.DataFrame:
     """Build every posting row of one segment group in numpy:
     tokenize + stop-filter + stem + lexsort + run-length boundaries +
@@ -781,7 +800,8 @@ def _build_group(
         if positional:
             row_s, row_e = pstart[s], pend[e - 1]
             bounds = pstart[s + 1:e] - row_s
-            out["positions"].append(np.split(poss[row_s:row_e], bounds))
+            if raw_positions:
+                out["positions"].append(np.split(poss[row_s:row_e], bounds))
             pbuf, poffs = delta_varint_encode_grouped(
                 poss[row_s:row_e].astype(np.int64),
                 np.concatenate(([0], bounds)),

@@ -144,6 +144,12 @@ def build_index_checkpointed(
         t0 = time.perf_counter()
         lo, hi = g * docs_per_group, (g + 1) * docs_per_group
         part = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        # raw_positions=False: the persisted layout stores positions
+        # ONLY as the delta+varint blob (pos_blob/pos_offsets) — parity
+        # with the reference's compressed position file
+        # (SegmentInDiskManager.java:184-199) — so the nested position
+        # arrays are never even built; load_index re-exposes a
+        # lazily-decoded `positions` column
         sp = postings_from_corpus(
             part,
             avg_len=stats["avg_len"],
@@ -151,13 +157,8 @@ def build_index_checkpointed(
             positional=positional,
             docs_per_segment=stats["docs_per_segment"],
             block_size=stats.get("block_size", block_size),
+            raw_positions=False,
         )
-        # persisted layout stores positions ONLY as the delta+varint
-        # blob (pos_blob/pos_offsets) — parity with the reference's
-        # compressed position file (SegmentInDiskManager.java:184-199);
-        # load_index re-exposes a lazily-decoded `positions` column
-        if positional:
-            sp = sp.drop("positions")
         # idempotent per-group commit: Iceberg dynamic partition
         # overwrite (snapshot) or parquet group-directory overwrite
         store.write_partition(sp, "postings", "group", g)

@@ -164,18 +164,18 @@ def ingest_batch(
     new_n = base + n_batch
     avg_len = (prior_len + len_batch) / new_n if new_n else 0.0
 
+    # raw_positions=False: same persisted contract as plans.checkpoint
+    # — positions live on disk only as the per-(term,doc) delta+varint
+    # blob, and the nested arrays are never built
     sp = postings_from_tokens(
         toks,
         avg_len=avg_len,
         positional=cfg["positional"],
         docs_per_segment=cfg["docs_per_segment"],
         block_size=cfg["block_size"],
+        raw_positions=False,
     )
     gdir = os.path.join(index_dir, "postings", f"group=stream_{batch_id}")
-    if cfg["positional"]:
-        # same persisted contract as plans.checkpoint: positions live
-        # on disk only as the per-(term,doc) delta+varint blob
-        sp = sp.drop("positions")
     sp.write.mode("overwrite").parquet(gdir)
     toks.select("doc_id", F.size("tokens").alias("doc_len")).write.mode(
         "overwrite"
