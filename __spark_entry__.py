@@ -332,6 +332,16 @@ def q_simhash(spark, sf):
     return DD.simhash(_corpus(spark, sf))
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clustering: LSH pairs -> large-star/small-star
+    connected components -> (doc_id, cluster_id) for every doc
+    (`operators/dedup.py:connected_components`). The canonical-survivor
+    step of a dedup pipeline — the reference has no counterpart; the
+    DuckDB oracle is a transitive-closure recursive CTE over the same
+    pair graph."""
+    return DD.dedup_clusters(_corpus(spark, sf))
+
+
 def _query_vec(spark, sf):
     row = (
         spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -579,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -638,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": S.sql_dedup_exact(),
         "dedup_minhash": S.sql_minhash(),
         "dedup_lsh_pairs": S.sql_lsh_pairs(),
+        "dedup_clusters": S.sql_dedup_clusters(),
         "dedup_ngram_jaccard": S.sql_ngram_jaccard("source"),
         "dedup_simhash": S.sql_simhash(),
         "dedup_embedding": S.sql_embedding_neardup(),

@@ -88,7 +88,7 @@ def main() -> None:
         "and_search", "or_search", "phrase_search", "bm25_topk",
         "bm25_topk_stemmed", "bm25_wand_topk", "bm25_wand_forced", "tfidf_topk",
         "term_stats", "postings_dump", "dedup_exact", "dedup_minhash",
-        "dedup_lsh_pairs", "dedup_simhash", "dedup_embedding",
+        "dedup_lsh_pairs", "dedup_clusters", "dedup_simhash", "dedup_embedding",
         "ann_cosine_topk", "ann_lsh_topk",
         "text_token_counts", "text_quality", "text_lang_id",
         "text_fingerprint", "events_hourly", "streaming_events_hourly",

@@ -31,9 +31,17 @@ DEFAULT_SHINGLE = 3
 
 
 def _shingles(tokens_col):
-    """All w-token shingles as space-joined strings (w=3)."""
+    """All w-token shingles as space-joined strings (w=3). Docs with
+    fewer than w tokens yield an EMPTY array — F.sequence(1, hi)
+    counts DOWN when hi < 1 ([1, 0]), and slice(col, 0, w) then
+    throws under ANSI mode, so the short-doc case must be guarded
+    explicitly (matches the oracle's positional self-join, which
+    simply produces no rows for short docs)."""
     n = F.size(tokens_col)
-    idx = F.sequence(F.lit(1), F.greatest(n - (DEFAULT_SHINGLE - 1), F.lit(0)))
+    idx = F.when(
+        n >= DEFAULT_SHINGLE,
+        F.sequence(F.lit(1), n - (DEFAULT_SHINGLE - 1)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, DEFAULT_SHINGLE))
     )
@@ -148,6 +156,124 @@ def ngram_jaccard_pairs(
         .withColumn("jacc_e6", F.round(jacc * 1_000_000).cast("long"))
         .filter(jacc > threshold)
         .select("doc_a", "doc_b", "jacc_e6")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Connected components of an undirected pair graph —
+    ``(doc_a, doc_b)`` rows -> ``(doc_id, cluster_id)`` where
+    cluster_id is the smallest doc_id in the component. Nodes are the
+    doc_ids appearing in ``pairs``; join the result back to the corpus
+    for singleton handling (see :func:`dedup_clusters`).
+
+    This is the canonical step AFTER candidate-pair generation
+    (LSH/SimHash/Jaccard emit PAIRS; dedup needs CLUSTERS with one
+    canonical survivor each — duplicates are transitive in practice).
+
+    Scale posture: alternating **large-star / small-star** (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    converges in O(log^2 n) rounds on ANY graph shape (a naive
+    min-label propagation needs diameter rounds, which a chain of
+    near-dups can push to O(n)). Each half-round is one groupBy-min
+    plus a distinct — partial aggregation handles hub skew, nothing is
+    ever collected to the driver, and no collect_list materializes a
+    hub's full neighbor list on one executor. Convergence is detected
+    with an order-independent aggregate fingerprint of the edge set
+    (count + sums of per-edge hashes), one metadata-sized job per
+    round. The edge set is ``localCheckpoint``-ed EVERY round: each
+    star references its input subtree four times (sym-union feeds
+    both the min-agg and the filtered side), so an uncut lineage
+    grows 16x per round — exponential plan size, unlike PageRank's
+    linear sweep stack.
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_a").cast("long").alias("u"),
+            F.col("doc_b").cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over Γ(u) ∪ {u}; connect the chosen neighbor side
+        # of each star to m(u). large-star: strictly larger neighbors;
+        # small-star: smaller-or-equal neighbors (plus u itself).
+        und = _sym(e)
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        side = und.filter(
+            (F.col("v") > F.col("u")) if large else (F.col("v") <= F.col("u"))
+        )
+        out = side.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        out = out.union(mins.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def _fingerprint(e: DataFrame):
+        # order-independent, ANSI-safe (pmod keeps each addend < 2^31
+        # so the sum cannot overflow long before ~2^32 edges; two
+        # independent moduli make a collision across rounds vanishingly
+        # unlikely, and the data is deterministic anyway)
+        return tuple(
+            e.agg(
+                F.count("*"),
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))),
+                F.sum(F.pmod(F.xxhash64("v", "u"), F.lit(2147483629))),
+            ).collect()[0]
+        )
+
+    fp_prev = None
+    for _ in range(max_rounds):
+        edges = _star(edges, large=True)
+        edges = _star(edges, large=False).localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == fp_prev:
+            break
+        fp_prev = fp
+    # converged edge set is a union of stars pointing at component
+    # minima; a node's label is its smallest neighbor (or itself for
+    # the minimum node of each component)
+    und = _sym(edges)
+    return (
+        und.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("mn"), F.col("u")).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_clusters(corpus: DataFrame, *, num_hashes: int = 4) -> DataFrame:
+    """End-to-end near-dup clustering over a corpus: LSH candidate
+    pairs -> connected components -> one row per doc
+    ``(doc_id, cluster_id)``; docs in no candidate pair are singleton
+    clusters of themselves. Downstream dedup keeps
+    ``doc_id == cluster_id`` rows (the canonical survivor per
+    cluster). The pair graph is metadata-sized relative to the corpus
+    (only bucket-colliding docs appear), so the component iteration
+    never touches document text."""
+    pairs = lsh_candidate_pairs(corpus, num_hashes=num_hashes)
+    comp = connected_components(pairs)
+    return (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
     )
 
 

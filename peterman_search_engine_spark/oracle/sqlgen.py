@@ -316,6 +316,37 @@ FROM bands a JOIN bands b
 ORDER BY doc_a, doc_b"""
 
 
+def sql_dedup_clusters(num_hashes: int = 4) -> str:
+    """Connected components of the LSH candidate-pair graph via
+    transitive closure (WITH RECURSIVE) — exact same pair graph as
+    sql_lsh_pairs, cluster_id = min reachable doc_id, singletons map
+    to themselves. The engine computes this with the O(log^2 n)
+    large-star/small-star iteration; min-over-reachable is the
+    order-independent spec both must satisfy."""
+    sig_cols = ", ".join(
+        f"min({_md5l(chr(39) + str(k) + ':' + chr(39) + ' || shingle')}) AS mh_{k}"
+        for k in range(num_hashes)
+    )
+    unpiv = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, mh_{k} AS val FROM sig" for k in range(num_hashes)
+    )
+    return f"""WITH RECURSIVE {TOKS_CTE}, {SHINGLE_CTE},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({unpiv}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+und AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"""
+
+
 def sql_ngram_jaccard(block_col: str) -> str:
     return f"""WITH {TOKS_CTE}, {SHINGLE_CTE},
 shb AS (SELECT sh.doc_id, sh.shingle, d.{block_col} AS blk
