@@ -332,6 +332,40 @@ def q_simhash(spark, sf):
     return DD.simhash(_corpus(spark, sf))
 
 
+SAMPLE_RATES = {"src0": 0.25, "src1": 0.5}
+DECONTAM_MOD = 53
+DECONTAM_MIN_OVERLAP = 2
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified down-sampling by source
+    (`operators/curation.py`): hash(doc_id) < rate per stratum —
+    partitioning/retry-invariant and nested across rate changes,
+    unlike rand()-based sampling."""
+    from peterman_search_engine_spark.operators import curation as CU
+
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    return CU.sample_stratified(docs, "source", SAMPLE_RATES).select(
+        "doc_id", "source"
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (`operators/curation.py`): flag docs
+    sharing >= 2 distinct 3-token shingles with the benchmark set
+    (docs with doc_id % 53 == 0 stand in for an eval suite); one
+    broadcast shingle join + groupBy."""
+    from peterman_search_engine_spark.operators import curation as CU
+
+    docs = _corpus(spark, sf)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return CU.decontaminate(
+        docs, bench, min_overlap=DECONTAM_MIN_OVERLAP
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup clustering: LSH pairs -> large-star/small-star
     connected components -> (doc_id, cluster_id) for every doc
@@ -590,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -650,6 +686,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": S.sql_minhash(),
         "dedup_lsh_pairs": S.sql_lsh_pairs(),
         "dedup_clusters": S.sql_dedup_clusters(),
+        "sample_stratified": S.sql_sample_stratified(
+            SAMPLE_RATES, 1.0, "pse-sample"
+        ),
+        "decontaminate": S.sql_decontaminate(
+            DECONTAM_MOD, DECONTAM_MIN_OVERLAP
+        ),
         "dedup_ngram_jaccard": S.sql_ngram_jaccard("source"),
         "dedup_simhash": S.sql_simhash(),
         "dedup_embedding": S.sql_embedding_neardup(),

@@ -90,6 +90,7 @@ def main() -> None:
         "term_stats", "postings_dump", "dedup_exact", "dedup_minhash",
         "dedup_lsh_pairs", "dedup_clusters", "dedup_simhash", "dedup_embedding",
         "ann_cosine_topk", "ann_lsh_topk",
+        "sample_stratified", "decontaminate",
         "text_token_counts", "text_quality", "text_lang_id",
         "text_fingerprint", "events_hourly", "streaming_events_hourly",
         "streaming_bm25_topk", "pagerank",

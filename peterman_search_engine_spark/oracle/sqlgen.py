@@ -484,6 +484,42 @@ WHERE cos_e6 >= {threshold_e6}
 ORDER BY cos_e6 DESC, vec_a, vec_b"""
 
 
+def sql_sample_stratified(
+    rates: dict[str, float], default_rate: float, salt: str
+) -> str:
+    """Deterministic hash sampling: same md5-derived bucket expression
+    as the engine's curation.sample_hash, rate per stratum via CASE."""
+    res = 1_000_000
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * res)}" for s, r in sorted(rates.items())
+    )
+    h = _md5l(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""SELECT doc_id, source FROM documents
+WHERE ({h}) % {res} < (CASE {cases} ELSE {int(default_rate * res)} END)
+ORDER BY doc_id"""
+
+
+def sql_decontaminate(bench_mod: int, min_overlap: int) -> str:
+    """n-gram decontamination oracle: benchmark = docs with
+    doc_id % bench_mod == 0; overlap = distinct shared 3-token
+    shingles with the benchmark's shingle-set union."""
+    return f"""WITH {TOKS_CTE}, {SHINGLE_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE sh.doc_id % {bench_mod} = 0),
+ov AS (
+  SELECT sh.doc_id, count(*) AS n_overlap
+  FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(sz.n_shingles, 0) AS n_shingles,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) >= {min_overlap} AS contaminated
+FROM documents d
+LEFT JOIN sz ON sz.doc_id = d.doc_id
+LEFT JOIN ov ON ov.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def sql_token_counts() -> str:
     return f"""SELECT doc_id,
   CAST(CASE WHEN trim(text) = '' THEN 0
