@@ -83,18 +83,40 @@ def minhash_signatures(corpus: DataFrame, *, num_hashes: int = 4) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(corpus: DataFrame, *, num_hashes: int = 4) -> DataFrame:
-    """LSH banding with 1-row bands: docs sharing ANY minhash value
-    are candidates. Self-join per (band, value) bucket — never a full
-    cross join. Returns (doc_a, doc_b) with doc_a < doc_b, distinct."""
+def lsh_candidate_pairs(
+    corpus: DataFrame, *, num_hashes: int = 4, rows_per_band: int = 1
+) -> DataFrame:
+    """LSH banding: the ``num_hashes`` minhashes are split into
+    b = num_hashes / rows_per_band bands of r = ``rows_per_band``
+    rows; two docs are candidates iff they agree on EVERY row of at
+    least one band. A pair with Jaccard similarity s collides with
+    probability 1 - (1 - s^r)^b — r tunes precision (r=1 fires on any
+    single hash collision; larger r suppresses low-similarity noise),
+    b tunes recall. Self-join per (band, value) bucket — never a full
+    cross join; bucket values hash uniformly, so the join keys carry
+    no inherent skew beyond true duplicate mass. Returns
+    (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be a multiple of rows_per_band")
     sig = minhash_signatures(corpus, num_hashes=num_hashes)
+    nbands = num_hashes // rows_per_band
+
+    def band_val(b: int):
+        return F.concat_ws(
+            "|",
+            *[
+                F.col(f"mh_{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(k).alias("band"), F.col(f"mh_{k}").alias("val"))
-                    for k in range(num_hashes)
+                    F.struct(F.lit(b).alias("band"), band_val(b).alias("val"))
+                    for b in range(nbands)
                 ]
             )
         ).alias("b"),

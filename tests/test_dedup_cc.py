@@ -12,12 +12,16 @@ Shapes chosen to break naive implementations:
 * singletons via dedup_clusters (docs in no pair map to themselves).
 """
 
+import itertools
+
 import pytest
 from pyspark.sql import functions as F
 
 from peterman_search_engine_spark.operators.dedup import (
     connected_components,
     dedup_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures,
 )
 
 
@@ -68,6 +72,45 @@ def test_cc_star_and_clique(spark):
     assert {k: v for k, v in got.items() if k < 50} == {
         x: 10 for x in range(10, 14)
     }
+
+
+def _banded_pairs_py(sigs, num_hashes, rows_per_band):
+    """Pure-Python oracle: pairs agreeing on every row of >=1 band."""
+    nbands = num_hashes // rows_per_band
+    expect = set()
+    for (da, sa), (db, sb) in itertools.combinations(sorted(sigs.items()), 2):
+        for b in range(nbands):
+            lo = b * rows_per_band
+            if sa[lo : lo + rows_per_band] == sb[lo : lo + rows_per_band]:
+                expect.add((da, db))
+                break
+    return expect
+
+
+@pytest.mark.parametrize("rows_per_band", [1, 2])
+def test_lsh_banding_matches_python_oracle(spark, tiny_corpus, rows_per_band):
+    num_hashes = 4
+    sigs = {
+        r["doc_id"]: tuple(r[f"mh_{k}"] for k in range(num_hashes))
+        for r in minhash_signatures(tiny_corpus, num_hashes=num_hashes).collect()
+    }
+    expect = _banded_pairs_py(sigs, num_hashes, rows_per_band)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            tiny_corpus, num_hashes=num_hashes, rows_per_band=rows_per_band
+        ).collect()
+    }
+    assert got == expect
+    if rows_per_band > 1:
+        # r>1 only suppresses candidates relative to r=1 (precision knob)
+        r1 = _banded_pairs_py(sigs, num_hashes, 1)
+        assert got <= r1
+
+
+def test_lsh_banding_rejects_uneven_split(tiny_corpus):
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(tiny_corpus, num_hashes=4, rows_per_band=3)
 
 
 @pytest.mark.parametrize("num_hashes", [4])
