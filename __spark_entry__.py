@@ -321,6 +321,13 @@ def q_lsh_pairs(spark, sf):
     return DD.lsh_candidate_pairs(_corpus(spark, sf))
 
 
+def q_lsh_pairs_banded(spark, sf):
+    """Banded LSH with r=2 rows per band (2 bands over 4 minhashes):
+    the precision knob — a pair must agree on BOTH rows of a band, so
+    single-hash collision noise is suppressed vs the r=1 query."""
+    return DD.lsh_candidate_pairs(_corpus(spark, sf), rows_per_band=2)
+
+
 def q_ngram_jaccard(spark, sf):
     docs = _docs(spark, sf).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
@@ -623,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
+        "dedup_lsh_banded": q_lsh_pairs_banded,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
@@ -685,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": S.sql_dedup_exact(),
         "dedup_minhash": S.sql_minhash(),
         "dedup_lsh_pairs": S.sql_lsh_pairs(),
+        "dedup_lsh_banded": S.sql_lsh_pairs(rows_per_band=2),
         "dedup_clusters": S.sql_dedup_clusters(),
         "sample_stratified": S.sql_sample_stratified(
             SAMPLE_RATES, 1.0, "pse-sample"

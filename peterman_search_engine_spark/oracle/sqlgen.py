@@ -299,13 +299,25 @@ def sql_minhash(num_hashes: int = 4) -> str:
 SELECT doc_id, {mins} FROM sh GROUP BY doc_id ORDER BY doc_id"""
 
 
-def sql_lsh_pairs(num_hashes: int = 4) -> str:
+def sql_lsh_pairs(num_hashes: int = 4, rows_per_band: int = 1) -> str:
+    """Banded LSH candidate pairs; band value = '|'-joined decimal
+    casts of the band's minhash rows, matching the engine's
+    concat_ws('|', cast(mh as string)) bucket key exactly."""
     sig_cols = ", ".join(
         f"min({_md5l(chr(39) + str(k) + ':' + chr(39) + ' || shingle')}) AS mh_{k}"
         for k in range(num_hashes)
     )
+    nbands = num_hashes // rows_per_band
+
+    def _val(b: int) -> str:
+        return " || '|' || ".join(
+            f"CAST(mh_{b * rows_per_band + j} AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+
     unpiv = " UNION ALL ".join(
-        f"SELECT doc_id, {k} AS band, mh_{k} AS val FROM sig" for k in range(num_hashes)
+        f"SELECT doc_id, {b} AS band, {_val(b)} AS val FROM sig"
+        for b in range(nbands)
     )
     return f"""WITH {TOKS_CTE}, {SHINGLE_CTE},
 sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
