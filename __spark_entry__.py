@@ -131,6 +131,17 @@ def q_phrase(spark, sf):
     return Q.search_phrase(_index(spark, sf), PHRASE)
 
 
+PROX_TERMS = ["spark", "merge"]
+PROX_SLOP = 8
+
+
+def q_proximity(spark, sf):
+    """Unordered WITHIN-slop search: both terms inside an 8-token
+    window — strictly between phrase (slop=1 ordered) and AND
+    (slop=inf) selectivity."""
+    return Q.search_proximity(_index(spark, sf), PROX_TERMS, PROX_SLOP)
+
+
 def q_bm25(spark, sf):
     idx = _index(spark, sf)
     return _ranked_e6(Q.bm25_scores(idx, BM25_TERMS), TOP_K)
@@ -613,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_scan_search": q_full_scan,
         "or_search": q_or,
         "phrase_search": q_phrase,
+        "proximity_search": q_proximity,
         "phrase_search_compressed": q_phrase_compressed,
         "bm25_topk": q_bm25,
         "bm25_topk_stemmed": q_bm25_stemmed,
@@ -660,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "full_scan_search": S.sql_full_scan(AND_TERMS),
         "or_search": S.sql_or(OR_TERMS),
         "phrase_search": S.sql_phrase(PHRASE),
+        "proximity_search": S.sql_proximity(PROX_TERMS, PROX_SLOP),
         "phrase_search_compressed": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         # A3/A4 gate: the oracle reads a stemmed-token fixture built by

@@ -106,26 +106,82 @@ def search_phrase(index: InvertedIndex, phrase: list[str]) -> DataFrame:
     spark = index.postings.sparkSession
     if not toks:
         return spark.createDataFrame([], "doc_id long")
+    per_term = _per_term_positions(index, toks)
+    return _phrase_join(per_term, toks)
+
+
+def _per_term_positions(index: InvertedIndex, toks: list[str]) -> DataFrame:
+    """(term, doc_id, positions) for the query terms, restricted to
+    docs containing ALL of them. Dispatch: raw stored arrays
+    (in-memory build) -> pure-JVM array join; compressed-only or
+    decode-projected positions (persisted index) -> partial decode of
+    candidate byte slices."""
     p = _postings_for(index, toks)
-    # dispatch: raw stored arrays (in-memory build) -> pure-JVM array
-    # join; compressed-only or decode-projected positions (persisted
-    # index) -> partial decode of candidate byte slices
     use_partial = "pos_blob" in p.columns and (
         "positions" not in p.columns
         or getattr(index, "positions_decoded", False)
     )
     if use_partial:
-        per_term = _phrase_positions_partial_decode(p, toks)
-    else:
-        per_term = p.select(
-            "term",
-            F.explode(F.arrays_zip("doc_ids", "positions")).alias("_z"),
-        ).select(
-            "term",
-            F.col("_z.doc_ids").alias("doc_id"),
-            F.col("_z.positions").alias("positions"),
+        return _phrase_positions_partial_decode(p, toks)
+    return p.select(
+        "term",
+        F.explode(F.arrays_zip("doc_ids", "positions")).alias("_z"),
+    ).select(
+        "term",
+        F.col("_z.doc_ids").alias("doc_id"),
+        F.col("_z.positions").alias("positions"),
+    )
+
+
+def search_proximity(
+    index: InvertedIndex, terms: list[str], slop: int
+) -> DataFrame:
+    """Unordered WITHIN-slop proximity search (beyond-reference; the
+    reference stops at strict phrase, IIM:360-460): docs where some
+    window of token positions [a, a+slop] contains at least one
+    occurrence of EVERY distinct analyzed query term.
+
+    The plan is the phrase plan — candidate docs computed from doc_ids
+    alone, positions partial-decoded for candidates only — with the
+    pos+j offset test replaced by a windowed exists. Every minimal
+    match window starts at a query-term occurrence, so it suffices to
+    anchor the window at the union of the terms' position lists; the
+    whole test is JVM array lambdas, no Python in the row path.
+    Returns (doc_id)."""
+    if not index.positional:
+        raise ValueError("proximity search requires a positional index")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    toks = sorted(set(_analyzed(index, terms)))
+    spark = index.postings.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long")
+    per_term = _per_term_positions(index, toks)
+    parts = []
+    for j, t in enumerate(toks):
+        parts.append(
+            per_term.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{j}")
+            )
         )
-    return _phrase_join(per_term, toks)
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    anchors = F.array_distinct(
+        F.concat(*[F.col(f"p{j}") for j in range(len(toks))])
+    )
+
+    def _window_ok(a: Column) -> Column:
+        # NB: capture `a` by closure, not a lambda default — PySpark
+        # reads the lambda arity to bind (element, index) variables.
+        def _term_ok(j: int) -> Column:
+            return F.exists(
+                F.col(f"p{j}"), lambda q: (q >= a) & (q <= a + F.lit(slop))
+            )
+
+        return reduce(
+            lambda acc, j: acc & _term_ok(j), range(len(toks)), F.lit(True)
+        )
+
+    return joined.filter(F.exists(anchors, _window_ok)).select("doc_id")
 
 
 def _phrase_positions_partial_decode(p: DataFrame, toks: list[str]) -> DataFrame:

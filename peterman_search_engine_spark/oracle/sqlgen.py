@@ -99,6 +99,24 @@ WHERE {' AND '.join(conds)}
 ORDER BY doc_id"""
 
 
+def sql_proximity(terms: list[str], slop: int) -> str:
+    """Unordered WITHIN-slop proximity: a doc matches iff some window
+    [a, a+slop] anchored at a query-term occurrence contains every
+    distinct term. Mirrors operators.query.search_proximity."""
+    uniq = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in uniq)
+    exists = " AND ".join(
+        f"EXISTS (SELECT 1 FROM toks x WHERE x.doc_id = a.doc_id"
+        f" AND x.tok = '{t}' AND x.pos BETWEEN a.pos AND a.pos + {slop})"
+        for t in uniq
+    )
+    return f"""WITH {TOKS_CTE}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM toks a
+WHERE a.tok IN ({in_list}) AND {exists}
+ORDER BY doc_id"""
+
+
 def _qtf_values(terms: list[str]) -> str:
     qtf: dict[str, int] = {}
     for t in terms:
