@@ -320,6 +320,40 @@ def q_phrase_compressed(spark, sf):
     return Q.search_phrase(idx2, PHRASE)
 
 
+DELETE_MOD = 7
+DELETE_REM = 3
+
+
+def _tombstoned_index(spark, sf):
+    """The shared index with every doc_id ≡ 3 (mod 7) tombstoned —
+    ~1/7 of the corpus deleted as metadata only."""
+    from peterman_search_engine_spark.operators import maintenance as M
+
+    idx = _index(spark, sf)
+    tomb = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).filter(F.col("doc_id") % DELETE_MOD == DELETE_REM)
+    return M.delete_documents(idx, tomb)
+
+
+def q_delete_bm25(spark, sf):
+    """BM25 top-k over a TOMBSTONED index: deleted docs excluded from
+    results before top-k, stats (df, N, avg_len) as-built — the oracle
+    applies the same exclusion only at the scored stage."""
+    return _ranked_e6(Q.bm25_scores(_tombstoned_index(spark, sf), BM25_TERMS), TOP_K)
+
+
+def q_compact_bm25(spark, sf):
+    """BM25 top-k AFTER compact_deletes: physically rewritten postings
+    with recomputed stats — must equal an index built on the reduced
+    corpus, so the oracle recomputes everything over the filtered
+    documents."""
+    from peterman_search_engine_spark.operators import maintenance as M
+
+    cidx = M.compact_deletes(_tombstoned_index(spark, sf))
+    return _ranked_e6(Q.bm25_scores(cidx, BM25_TERMS), TOP_K)
+
+
 def q_dedup_exact(spark, sf):
     return DD.dedup_exact(_corpus(spark, sf))
 
@@ -639,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "postings_dump": q_postings,
         "posting_compression": q_compressed_size,
+        "delete_bm25_topk": q_delete_bm25,
+        "compact_bm25_topk": q_compact_bm25,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
@@ -703,6 +739,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": S.sql_doc_stats(),
         "postings_dump": S.sql_postings(POSTING_TERMS),
         "posting_compression": S.sql_compressed_size(50),
+        "delete_bm25_topk": S.sql_bm25(
+            BM25_TERMS,
+            TOP_K,
+            result_where=f"tf.doc_id % {DELETE_MOD} <> {DELETE_REM}",
+        ),
+        "compact_bm25_topk": S.sql_bm25(
+            BM25_TERMS,
+            TOP_K,
+            docs_where=f"doc_id % {DELETE_MOD} <> {DELETE_REM}",
+        ),
         "dedup_exact": S.sql_dedup_exact(),
         "dedup_minhash": S.sql_minhash(),
         "dedup_lsh_pairs": S.sql_lsh_pairs(),

@@ -233,6 +233,12 @@ class InvertedIndex:
     # column — the phrase path then partial-decodes byte slices instead
     # of running the whole-column decode through the legacy array join.
     positions_decoded: bool = False
+    # tombstoned doc_ids (one column, `doc_id long`), or None. Queries
+    # exclude these docs from results while corpus-wide stats (df, N,
+    # avg_len) stay as-built until operators.maintenance.compact_deletes
+    # rewrites the postings — the standard large-index delete tradeoff
+    # (metadata-sized delete now, one full rewrite amortized later).
+    tombstones: DataFrame | None = None
 
     def num_segments(self) -> int:
         return self.postings.select("segment").distinct().count()

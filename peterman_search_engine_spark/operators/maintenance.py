@@ -1,0 +1,174 @@
+"""Index maintenance: document deletion as tombstones + compaction.
+
+The reference stubs ``deleteDocuments`` entirely
+(``InvertedIndexManager.java:483-484`` — an empty method). This module
+implements the operation the way a distributed index actually ships
+it (the Lucene liveDocs model):
+
+* ``delete_documents`` — O(|deleted|) metadata: record the doc_ids in
+  a tombstone table. No posting row is touched, so a delete of 10^6
+  docs out of 10^12 costs one small-table write, not an index rewrite.
+  Queries exclude tombstoned docs from results (operators/query.py
+  ``_live``); corpus-wide stats (df, N, avg_len) intentionally remain
+  as-built — scoring drift is bounded by the deleted fraction and is
+  the standard price for O(1)-ish deletes. Block-max WAND routes to
+  the exhaustive plan while tombstones exist (stored block upper
+  bounds may be dominated by deleted docs, making the prune unsound).
+
+* ``compact_deletes`` — the amortized rewrite: physically remove
+  tombstoned docs from every posting list, re-encode blobs / block
+  upper bounds / position blobs with the POST-delete avg_len, and
+  recompute df/cf/doc_stats/N. After compaction the index is
+  indistinguishable from one built on the reduced corpus, so WAND and
+  as-built-stats scoring are both exact again.
+
+Scale shape: the tombstone table is metadata-sized (anti-joins
+broadcast under AQE); compaction is one explode → anti-join →
+re-aggregate pass over the postings — a full-index rewrite by
+definition, run rarely and amortized over many deletes, exactly like
+segment-merge compaction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .indexer import (
+    InvertedIndex,
+    _ENC_SCHEMA,
+    _ENC_SCHEMA_POS,
+    _make_encode_udf,
+    _posting_schema,
+    with_positions,
+)
+
+
+def _as_tombstone_df(index: InvertedIndex, doc_ids) -> DataFrame:
+    spark = index.postings.sparkSession
+    if isinstance(doc_ids, DataFrame):
+        return doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    rows = [(int(d),) for d in sorted(set(doc_ids))]
+    return spark.createDataFrame(rows, "doc_id long")
+
+
+def delete_documents(
+    index: InvertedIndex, doc_ids: DataFrame | Iterable[int]
+) -> InvertedIndex:
+    """Tombstone the given doc_ids (a one-column ``doc_id`` DataFrame
+    or an iterable of ints). Returns a new InvertedIndex whose queries
+    exclude them; idempotent (re-deleting is a no-op via distinct)."""
+    tomb = _as_tombstone_df(index, doc_ids)
+    if index.tombstones is not None:
+        tomb = index.tombstones.unionByName(tomb).distinct()
+    return dataclasses.replace(index, tombstones=tomb)
+
+
+def persist_tombstones(index: InvertedIndex, store) -> None:
+    """Commit the tombstone table through the storage seam (one
+    Iceberg snapshot or a parquet overwrite — tiny either way);
+    plans.checkpoint.load_index restores it, so deletes survive a
+    restart without touching the posting tables."""
+    if index.tombstones is None:
+        raise ValueError("index has no tombstones to persist")
+    store.write(index.tombstones, "tombstones")
+
+
+def compact_deletes(
+    index: InvertedIndex, *, block_size: int | None = None
+) -> InvertedIndex:
+    """Physically apply tombstones: one distributed pass over postings.
+
+    Plan: explode posting lists to (segment, term, doc_id, tf[, pos]),
+    anti-join the tombstones (metadata-sized -> broadcast), join the
+    surviving rows' doc_len, and re-aggregate per (segment, term) with
+    a sort_array(collect_list(struct(doc_id, ...))) — structs sort by
+    doc_id, restoring posting order (the merge_segments invariant).
+    The encode UDF then re-derives blob / block upper bounds /
+    position blobs with the POST-delete avg_len, so WAND bounds are
+    fresh. Terms whose postings empty out vanish; df/cf/term_stats/
+    doc_stats/N/avg_len are all recomputed. Returns a tombstone-free
+    index."""
+    tomb = index.tombstones
+    if tomb is None or not tomb.take(1):
+        return dataclasses.replace(index, tombstones=None)
+    if block_size is None:
+        block_size = index.block_size
+
+    doc_stats = index.doc_stats.join(tomb, "doc_id", "left_anti")
+    row = doc_stats.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    n_docs, avg_len = int(row["n"]), float(row["avg"] or 0.0)
+
+    p = index.postings
+    if index.positional:
+        p = with_positions(p)  # loaded indexes carry only the blob
+    fields = ["doc_ids", "tfs"] + (["positions"] if index.positional else [])
+    ex = p.select(
+        "segment", "term", F.explode(F.arrays_zip(*fields)).alias("_z")
+    ).select(
+        "segment",
+        "term",
+        F.col("_z.doc_ids").alias("doc_id"),
+        F.col("_z.tfs").alias("tf"),
+        *([F.col("_z.positions").alias("pos")] if index.positional else []),
+    )
+    live = ex.join(tomb, "doc_id", "left_anti").join(doc_stats, "doc_id")
+
+    entry = F.struct(
+        F.col("doc_id"),
+        F.col("tf"),
+        F.col("doc_len"),
+        *([F.col("pos")] if index.positional else []),
+    )
+    regrouped = (
+        live.groupBy("segment", "term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.sort_array(F.collect_list(entry)).alias("_l"),
+        )
+        .select(
+            "segment",
+            "term",
+            "df",
+            "cf",
+            F.col("_l.doc_id").alias("doc_ids"),
+            F.col("_l.tf").alias("tfs"),
+            F.col("_l.doc_len").alias("_doc_lens"),
+            *([F.col("_l.pos").alias("positions")] if index.positional else []),
+        )
+    )
+
+    enc_cols = [F.col("doc_ids"), F.col("tfs"), F.col("_doc_lens")]
+    if index.positional:
+        enc_cols.append(F.col("positions"))
+    enc = _make_encode_udf(avg_len, block_size, positional=index.positional)(
+        *enc_cols
+    )
+    regrouped = regrouped.withColumn("_enc", enc)
+    for f in (_ENC_SCHEMA_POS if index.positional else _ENC_SCHEMA).fields:
+        regrouped = regrouped.withColumn(f.name, F.col(f"_enc.{f.name}"))
+    postings = regrouped.select(
+        [f.name for f in _posting_schema(index.positional).fields]
+    )
+
+    term_stats = postings.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    return InvertedIndex(
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=n_docs,
+        avg_len=avg_len,
+        positional=index.positional,
+        stem=index.stem,
+        block_size=block_size,
+        block_meta=None,  # stale after the rewrite; derived lazily
+        tombstones=None,
+    )

@@ -41,6 +41,18 @@ def _postings_for(index: InvertedIndex, toks: list[str]) -> DataFrame:
     return index.postings.filter(F.col("term").isin(list(set(toks))))
 
 
+def _live(index: InvertedIndex, df: DataFrame) -> DataFrame:
+    """Drop tombstoned docs from a (doc_id, ...) result. Anti-join on
+    the metadata-sized tombstone table (broadcast under AQE for the
+    typical sparse-delete case); no-op when the index has no deletes.
+    Ranked queries apply this BEFORE top-k so deleted docs can't
+    occupy result slots; stats (df, N, avg_len) intentionally stay
+    as-built until compact_deletes (operators/maintenance.py)."""
+    if index.tombstones is None:
+        return df
+    return df.join(index.tombstones, "doc_id", "left_anti")
+
+
 # -- Q1-Q3: keyword / AND / OR ------------------------------------------------
 
 def search_and(index: InvertedIndex, terms: list[str]) -> DataFrame:
@@ -54,11 +66,12 @@ def search_and(index: InvertedIndex, terms: list[str]) -> DataFrame:
         return spark.createDataFrame([], "doc_id long")
     p = _postings_for(index, toks)
     hits = p.select("term", F.explode("doc_ids").alias("doc_id"))
-    return (
+    return _live(
+        index,
         hits.groupBy("doc_id")
         .agg(F.countDistinct("term").alias("_n"))
         .filter(F.col("_n") == len(toks))
-        .select("doc_id")
+        .select("doc_id"),
     )
 
 
@@ -77,7 +90,7 @@ def search_or(index: InvertedIndex, terms: list[str]) -> DataFrame:
     if not toks:
         return spark.createDataFrame([], "doc_id long")
     p = _postings_for(index, toks)
-    return p.select(F.explode("doc_ids").alias("doc_id")).distinct()
+    return _live(index, p.select(F.explode("doc_ids").alias("doc_id")).distinct())
 
 
 # -- Q4: phrase ---------------------------------------------------------------
@@ -107,7 +120,7 @@ def search_phrase(index: InvertedIndex, phrase: list[str]) -> DataFrame:
     if not toks:
         return spark.createDataFrame([], "doc_id long")
     per_term = _per_term_positions(index, toks)
-    return _phrase_join(per_term, toks)
+    return _live(index, _phrase_join(per_term, toks))
 
 
 def _per_term_positions(index: InvertedIndex, toks: list[str]) -> DataFrame:
@@ -181,7 +194,9 @@ def search_proximity(
             lambda acc, j: acc & _term_ok(j), range(len(toks)), F.lit(True)
         )
 
-    return joined.filter(F.exists(anchors, _window_ok)).select("doc_id")
+    return _live(
+        index, joined.filter(F.exists(anchors, _window_ok)).select("doc_id")
+    )
 
 
 def _phrase_positions_partial_decode(p: DataFrame, toks: list[str]) -> DataFrame:
@@ -293,7 +308,7 @@ def tfidf_scores(index: InvertedIndex, terms: list[str]) -> DataFrame:
         )
         .select("doc_id", "score")
     )
-    return scored
+    return _live(index, scored)
 
 
 def search_tfidf(index: InvertedIndex, terms: list[str], top_k: int | None) -> DataFrame:
@@ -335,13 +350,14 @@ def bm25_scores(index: InvertedIndex, terms: list[str]) -> DataFrame:
         F.lit(1 - B) + F.lit(B) * F.col("doc_len") / F.lit(index.avg_len)
     )
     contrib = F.col("qtf") * F.col("idf") * F.col("tf") * F.lit(K1 + 1) / denom
-    return (
+    return _live(
+        index,
         hits.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .withColumn("_c", contrib)
         .groupBy("doc_id")
         .agg(F.sum("_c").alias("score"))
-        .select("doc_id", "score")
+        .select("doc_id", "score"),
     )
 
 

@@ -157,6 +157,16 @@ def bm25_topk_wand(
     if block_size is None:
         block_size = index.block_size
 
+    if index.tombstones is not None:
+        # stored block UBs and the θ seed may be dominated by deleted
+        # docs, making the prune unsound for live docs — route to the
+        # (tombstone-aware) exhaustive plan; compact_deletes restores
+        # WAND by re-encoding blocks over live docs only.
+        res = bm25_topk_exhaustive(index, terms, k)
+        if return_stats:
+            return res, {"gated_exhaustive": True, "reason": "tombstones"}
+        return res
+
     if not force_prune:
         # cost gate: one metadata-sized lookup (term_stats is
         # #distinct-terms rows; the reference reads the same df numbers

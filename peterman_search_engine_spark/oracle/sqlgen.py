@@ -21,12 +21,17 @@ STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 
 # A1 tokenizer over the documents view: (doc_id, tok, pos) with
 # positions assigned AFTER stop-word removal (IIM:173-184).
-TOKS_CTE = f"""
+# docs_where restricts the corpus (compacted-index oracles).
+
+
+def make_toks_cte(docs_where: str | None = None) -> str:
+    w = f" WHERE {docs_where}" if docs_where else ""
+    return f"""
 raw AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(text), '[\\s,.;?!]+')) AS tok,
          generate_subscripts(regexp_split_to_array(lower(text), '[\\s,.;?!]+'), 1) AS ord
-  FROM documents
+  FROM documents{w}
 ),
 toks AS (
   SELECT doc_id, tok,
@@ -36,14 +41,21 @@ toks AS (
 )
 """
 
-# doc lengths over ALL docs (zero-token docs => len 0)
-DL_CTE = """
+
+def make_dl_cte(docs_where: str | None = None) -> str:
+    # doc lengths over ALL (retained) docs: zero-token docs => len 0
+    w = f" WHERE {docs_where}" if docs_where else ""
+    return f"""
 dl AS (
   SELECT d.doc_id, count(t.tok) AS len
-  FROM documents d LEFT JOIN toks t USING (doc_id)
+  FROM (SELECT * FROM documents{w}) d LEFT JOIN toks t USING (doc_id)
   GROUP BY d.doc_id
 )
 """
+
+
+TOKS_CTE = make_toks_cte()
+DL_CTE = make_dl_cte()
 
 MD5L = "CAST(CAST('0x' || substr(md5({x}), 1, 14) AS UBIGINT) AS BIGINT)"
 
@@ -127,10 +139,19 @@ def _qtf_values(terms: list[str]) -> str:
 def sql_bm25(
     terms: list[str], k: int, k1: float = 1.2, b: float = 0.75,
     toks_cte: str | None = None,
+    docs_where: str | None = None,
+    result_where: str | None = None,
 ) -> str:
-    return f"""WITH {toks_cte if toks_cte is not None else TOKS_CTE}, {DL_CTE},
+    """``docs_where`` restricts the corpus everywhere (stats AND
+    results — a compacted index); ``result_where`` (over ``tf.doc_id``)
+    filters only the scored docs while stats stay corpus-wide (a
+    tombstoned index)."""
+    tc = toks_cte if toks_cte is not None else make_toks_cte(docs_where)
+    n_w = f" WHERE {docs_where}" if docs_where else ""
+    r_w = f"  WHERE {result_where}\n" if result_where else ""
+    return f"""WITH {tc}, {make_dl_cte(docs_where)},
 q(term, qtf) AS (VALUES {_qtf_values(terms)}),
-n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents),
+n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents{n_w}),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
 scored AS (
@@ -141,7 +162,7 @@ scored AS (
   FROM tf JOIN q ON tf.tok = q.term
           JOIN df ON df.tok = tf.tok
           JOIN dl ON dl.doc_id = tf.doc_id, n
-  GROUP BY tf.doc_id
+{r_w}  GROUP BY tf.doc_id
 )
 SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
 FROM scored ORDER BY score_e6 DESC, doc_id LIMIT {k}"""

@@ -264,6 +264,9 @@ def load_index(
         block_size=stats.get("block_size", DEFAULT_BLOCK_SIZE),
         block_meta=store.read("block_meta") if store.exists("block_meta") else None,
         positions_decoded=positions_decoded,
+        tombstones=(
+            store.read("tombstones") if store.exists("tombstones") else None
+        ),
     )
 
 
