@@ -142,6 +142,52 @@ def q_proximity(spark, sf):
     return Q.search_proximity(_index(spark, sf), PROX_TERMS, PROX_SLOP)
 
 
+NOT_INCLUDE = ["merge"]
+NOT_EXCLUDE = ["vector", "stream"]
+PREFIX = "st"
+FILTER_LANG = "en"
+SNIP_WIDTH = 3
+FACET_COL = "lang"
+
+
+def q_not(spark, sf):
+    """Boolean AND-NOT: docs with all include terms and none of the
+    exclude terms (completes the boolean algebra beyond the
+    reference's AND/OR)."""
+    return Q.search_and_not(_index(spark, sf), NOT_INCLUDE, NOT_EXCLUDE)
+
+
+def q_prefix(spark, sf):
+    """Wildcard prefix* search: StringStartsWith pushed to the term
+    dictionary scan."""
+    return Q.search_prefix(_index(spark, sf), PREFIX)
+
+
+def q_bm25_filtered(spark, sf):
+    """Metadata-filtered BM25: rank only lang='en' docs while idf/N/
+    avg_len stay corpus-wide, so scores equal the unfiltered run."""
+    idx = _index(spark, sf)
+    allowed = _docs(spark, sf).filter(F.col("lang") == FILTER_LANG)
+    return _ranked_e6(
+        Q.search_bm25_filtered(idx, BM25_TERMS, allowed, None), TOP_K
+    )
+
+
+def q_snippets(spark, sf):
+    """Result snippets: +-3-token window around the first query-term
+    hit, for every doc matching AND(AND_TERMS)."""
+    hits = Q.search_and(_index(spark, sf), AND_TERMS)
+    return Q.snippets(
+        _corpus(spark, sf), hits, AND_TERMS, stem=False, width=SNIP_WIDTH
+    )
+
+
+def q_facets(spark, sf):
+    """Facet counts: the OR(OR_TERMS) result set bucketed by lang."""
+    hits = Q.search_or(_index(spark, sf), OR_TERMS)
+    return Q.facet_counts(hits, _docs(spark, sf), FACET_COL)
+
+
 def q_bm25(spark, sf):
     idx = _index(spark, sf)
     return _ranked_e6(Q.bm25_scores(idx, BM25_TERMS), TOP_K)
@@ -659,6 +705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_search": q_or,
         "phrase_search": q_phrase,
         "proximity_search": q_proximity,
+        "not_search": q_not,
+        "prefix_search": q_prefix,
+        "bm25_topk_filtered": q_bm25_filtered,
+        "snippets": q_snippets,
+        "facet_counts": q_facets,
         "phrase_search_compressed": q_phrase_compressed,
         "bm25_topk": q_bm25,
         "bm25_topk_stemmed": q_bm25_stemmed,
@@ -709,6 +760,18 @@ def oracle_sql() -> dict[str, str]:
         "or_search": S.sql_or(OR_TERMS),
         "phrase_search": S.sql_phrase(PHRASE),
         "proximity_search": S.sql_proximity(PROX_TERMS, PROX_SLOP),
+        "not_search": S.sql_and_not(NOT_INCLUDE, NOT_EXCLUDE),
+        "prefix_search": S.sql_prefix(PREFIX),
+        "bm25_topk_filtered": S.sql_bm25(
+            BM25_TERMS,
+            TOP_K,
+            result_where=(
+                "tf.doc_id IN (SELECT doc_id FROM documents"
+                f" WHERE lang = '{FILTER_LANG}')"
+            ),
+        ),
+        "snippets": S.sql_snippets(AND_TERMS, AND_TERMS, SNIP_WIDTH),
+        "facet_counts": S.sql_facets(OR_TERMS, FACET_COL),
         "phrase_search_compressed": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         # A3/A4 gate: the oracle reads a stemmed-token fixture built by

@@ -93,6 +93,46 @@ def search_or(index: InvertedIndex, terms: list[str]) -> DataFrame:
     return _live(index, p.select(F.explode("doc_ids").alias("doc_id")).distinct())
 
 
+def search_and_not(
+    index: InvertedIndex, include: list[str], exclude: list[str]
+) -> DataFrame:
+    """Boolean NOT (beyond-reference — the reference's boolean algebra
+    stops at AND/OR, IIM:1156-1159): docs containing ALL include terms
+    and NONE of the exclude terms.
+
+    Plan: AND semi-join for the include side, anti-join against the
+    exclude terms' doc set. Both sides are term-IN-filtered posting
+    scans (parquet-pruned); the anti-join shuffles on doc_id and AQE
+    broadcasts the exclude side when it is small. Returns (doc_id)."""
+    inc = search_and(index, include)
+    etoks = sorted(set(_analyzed(index, exclude)))
+    if not etoks:
+        return inc
+    ep = _postings_for(index, etoks)
+    edocs = ep.select(F.explode("doc_ids").alias("doc_id")).distinct()
+    return inc.join(edocs, "doc_id", "left_anti")
+
+
+def search_prefix(index: InvertedIndex, prefix: str) -> DataFrame:
+    """Wildcard ``prefix*`` search (beyond-reference): docs containing
+    ANY dictionary term starting with the prefix.
+
+    The prefix is lowercased but NOT stemmed — stemming rewrites
+    suffixes, which is exactly what a prefix query must leave open.
+    ``startswith`` compiles to a StringStartsWith filter that pushes
+    into the parquet scan of a persisted index; because the on-disk
+    layout sorts rows by term inside each segment file, row-group
+    min/max term statistics turn this into a dictionary *range scan*
+    (the reference's sorted in-memory dictionary would serve the same
+    query with a bisect, but never implements it). Returns (doc_id)."""
+    pfx = prefix.strip().lower()
+    spark = index.postings.sparkSession
+    if not pfx:
+        return spark.createDataFrame([], "doc_id long")
+    p = index.postings.filter(F.col("term").startswith(pfx))
+    return _live(index, p.select(F.explode("doc_ids").alias("doc_id")).distinct())
+
+
 # -- Q4: phrase ---------------------------------------------------------------
 
 def search_phrase(index: InvertedIndex, phrase: list[str]) -> DataFrame:
@@ -365,6 +405,27 @@ def search_bm25(index: InvertedIndex, terms: list[str], top_k: int | None) -> Da
     return top_k_df(bm25_scores(index, terms), top_k)
 
 
+def search_bm25_filtered(
+    index: InvertedIndex,
+    terms: list[str],
+    allowed_docs: DataFrame,
+    top_k: int | None,
+) -> DataFrame:
+    """BM25 restricted to a caller-supplied doc set (metadata-filtered
+    search — e.g. ``documents.filter(lang == 'en')``). Standard search
+    semantics: the filter selects which docs may appear in results
+    while corpus-wide stats (idf, N, avg_len) are unchanged, so a doc's
+    score is identical with and without the filter.
+
+    The semi-join runs BEFORE top-k so filtered-out docs can't occupy
+    result slots; at scale the allowed set is whatever the metadata
+    predicate prunes to, and AQE broadcasts it when small. Returns
+    (doc_id, score)."""
+    scored = bm25_scores(index, terms)
+    allowed = allowed_docs.select("doc_id")
+    return top_k_df(scored.join(allowed, "doc_id", "left_semi"), top_k)
+
+
 # -- Q17: top-k ---------------------------------------------------------------
 
 def top_k_df(scored: DataFrame, top_k: int | None) -> DataFrame:
@@ -395,3 +456,63 @@ def full_scan_search(corpus: DataFrame, terms: list[str], *, stem: bool = True) 
 def fetch_documents(corpus: DataFrame, doc_ids: DataFrame) -> DataFrame:
     """DocStore point-lookup analogue (B10): join back to text."""
     return doc_ids.join(corpus, "doc_id").select("doc_id", "text")
+
+
+def snippets(
+    corpus: DataFrame,
+    doc_ids: DataFrame,
+    terms: list[str],
+    *,
+    stem: bool = False,
+    width: int = 3,
+) -> DataFrame:
+    """Result snippets (beyond-reference): for each doc in ``doc_ids``,
+    the analyzed-token window around the FIRST occurrence of any query
+    term — positions ``[max(fp - width, 0), fp + width]`` over the
+    post-stop-word token list, joined with single spaces. Docs with no
+    occurrence are dropped.
+
+    Plan: semi-join the corpus down to the requested docs FIRST (the
+    DocStore point lookup), then tokenize only those rows — snippet
+    cost is O(|result docs|), never a corpus scan. The window math is
+    pure JVM array expressions (array_position / slice / concat_ws),
+    no Python in the row path. Returns (doc_id, snippet)."""
+    from ..functions.analysis import analyze_query
+    from .indexer import tokenize_corpus
+
+    toks = sorted(set(analyze_query(terms, stem=stem)))
+    spark = corpus.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, snippet string")
+    hits = corpus.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
+    t = tokenize_corpus(hits, stem=stem)
+    # 1-based first position of any query term; array_position = 0
+    # means absent -> nullif, and least() skips nulls.
+    fp = F.least(
+        *[F.nullif(F.array_position("tokens", tok), F.lit(0)) for tok in toks]
+    ) if len(toks) > 1 else F.nullif(
+        F.array_position("tokens", toks[0]), F.lit(0)
+    )
+    t = t.withColumn("_fp", fp).filter(F.col("_fp").isNotNull())
+    start = F.greatest(F.col("_fp") - width, F.lit(1))
+    length = F.col("_fp") + width - start + F.lit(1)
+    return t.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("tokens", start, length)).alias("snippet"),
+    )
+
+
+def facet_counts(
+    doc_ids: DataFrame, docs_meta: DataFrame, facet_col: str
+) -> DataFrame:
+    """Faceted result counts (beyond-reference): bucket a query's doc
+    set by a metadata column (lang, source, ...) and count. One
+    broadcast-or-shuffle join plus a hash aggregate over at most
+    |facet values| rows — the standard search-UI sidebar, expressed as
+    the aggregation Catalyst already optimizes. Returns (facet, n)."""
+    return (
+        doc_ids.select("doc_id")
+        .join(docs_meta.select("doc_id", facet_col), "doc_id")
+        .groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.count("*").alias("n"))
+    )

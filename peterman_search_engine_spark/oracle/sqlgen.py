@@ -97,6 +97,64 @@ def sql_or(terms: list[str]) -> str:
 SELECT DISTINCT doc_id FROM toks WHERE tok IN ({inlist}) ORDER BY doc_id"""
 
 
+def sql_and_not(include: list[str], exclude: list[str]) -> str:
+    """Boolean NOT: AND(include) minus OR(exclude). Mirrors
+    operators.query.search_and_not."""
+    inc = ", ".join(f"'{t}'" for t in sorted(set(include)))
+    exc = ", ".join(f"'{t}'" for t in sorted(set(exclude)))
+    return f"""WITH {TOKS_CTE}
+SELECT doc_id FROM toks WHERE tok IN ({inc})
+GROUP BY doc_id HAVING count(DISTINCT tok) = {len(set(include))}
+EXCEPT
+SELECT DISTINCT doc_id FROM toks WHERE tok IN ({exc})
+ORDER BY doc_id"""
+
+
+def sql_prefix(prefix: str) -> str:
+    """Wildcard prefix* search. Mirrors operators.query.search_prefix
+    (prefix lowercased, never stemmed)."""
+    pfx = prefix.strip().lower().replace("'", "''")
+    return f"""WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE tok LIKE '{pfx}%' ORDER BY doc_id"""
+
+
+def sql_snippets(doc_terms: list[str], snip_terms: list[str], width: int) -> str:
+    """Snippets for the docs matching AND(doc_terms): the token window
+    [max(fp - width, 0), fp + width] around the first (minimum)
+    position of any snip_term, space-joined. Mirrors
+    operators.query.snippets over 0-based toks positions."""
+    inc = ", ".join(f"'{t}'" for t in sorted(set(doc_terms)))
+    st = ", ".join(f"'{t}'" for t in sorted(set(snip_terms)))
+    return f"""WITH {TOKS_CTE},
+hits AS (
+  SELECT doc_id FROM toks WHERE tok IN ({inc})
+  GROUP BY doc_id HAVING count(DISTINCT tok) = {len(set(doc_terms))}
+),
+fp AS (
+  SELECT t.doc_id, min(t.pos) AS fp0
+  FROM toks t JOIN hits USING (doc_id)
+  WHERE t.tok IN ({st})
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS snippet
+FROM toks t JOIN fp ON fp.doc_id = t.doc_id
+WHERE t.pos BETWEEN greatest(fp.fp0 - {width}, 0) AND fp.fp0 + {width}
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+
+
+def sql_facets(or_terms: list[str], facet_col: str) -> str:
+    """Facet counts over the OR(or_terms) doc set, bucketed by a
+    documents metadata column. Mirrors operators.query.facet_counts."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(or_terms)))
+    return f"""WITH {TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok IN ({inlist}))
+SELECT d.{facet_col} AS facet, count(*) AS n
+FROM hits JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY facet"""
+
+
 def sql_phrase(terms: list[str]) -> str:
     joins, conds = [], [f"t0.tok = '{terms[0]}'"]
     for j in range(1, len(terms)):
