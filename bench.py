@@ -86,7 +86,8 @@ def main() -> None:
     qmap = entry.queries()
     bench_queries = [
         "and_search", "or_search", "phrase_search", "proximity_search",
-        "bm25_topk", "delete_bm25_topk",
+        "not_search", "prefix_search", "snippets", "facet_counts",
+        "bm25_topk", "bm25_topk_filtered", "delete_bm25_topk",
         "bm25_topk_stemmed", "bm25_wand_topk", "bm25_wand_forced", "tfidf_topk",
         "term_stats", "postings_dump", "dedup_exact", "dedup_minhash",
         "dedup_lsh_pairs", "dedup_clusters", "dedup_simhash", "dedup_embedding",
