@@ -78,6 +78,10 @@ def delta_varint_encode_grouped(
     group's bytes contiguously, and an int64 array of G+1 offsets —
     exactly the (offsets, data) pair an Arrow BinaryArray wants, so a
     whole segment's blobs materialize with zero per-list Python.
+
+    Empty groups (``starts[i] == starts[i+1]``, or a trailing
+    ``starts[i] == values.size``) are valid and yield a zero-length
+    byte slice (``byte_offsets[i+1] == byte_offsets[i]``).
     """
     vals = np.asarray(values, dtype=np.int64)
     starts = np.asarray(starts, dtype=np.int64)
@@ -86,7 +90,10 @@ def delta_varint_encode_grouped(
     deltas = np.empty_like(vals)
     deltas[0] = vals[0]
     np.subtract(vals[1:], vals[:-1], out=deltas[1:])
-    deltas[starts] = vals[starts]  # reset: first delta of a group vs 0
+    # reset: first delta of a group vs 0 (a trailing empty group has
+    # starts == vals.size — no value to reset)
+    rs = starts[starts < vals.size]
+    deltas[rs] = vals[rs]
     if deltas.min() < 0:
         raise ValueError("groups must be internally non-decreasing")
     nb = _varint_nbytes(deltas)
@@ -99,8 +106,13 @@ def delta_varint_encode_grouped(
         if j > 0:
             payload |= 0x80
         out[pos] = payload.astype(np.uint8)
-    group_last = np.append(starts[1:], vals.size) - 1  # last value idx per group
-    byte_offsets = np.concatenate(([0], ends[group_last]))
+    # group i's end offset = end byte of the last value BEFORE the next
+    # group's start. An empty group shares its predecessor's end (zero
+    # bytes); leading empty groups (group_last == -1) end at offset 0.
+    group_last = np.append(starts[1:], vals.size) - 1
+    byte_offsets = np.concatenate(
+        ([0], np.where(group_last >= 0, ends[np.maximum(group_last, 0)], 0))
+    )
     return out, byte_offsets
 
 

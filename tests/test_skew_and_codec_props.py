@@ -58,6 +58,53 @@ def test_grouped_encode_matches_per_list_property(lists):
         )
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**32), min_size=0, max_size=10),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_grouped_encode_allows_empty_groups_property(lists):
+    """Empty groups — leading, interior, trailing — yield zero-length
+    byte slices and never disturb their neighbours (ADVICE r2: trailing
+    empty groups used to IndexError, leading ones wrapped offsets)."""
+    lists = [sorted(l) for l in lists]
+    flat = (
+        np.concatenate([np.array(l, dtype=np.int64) for l in lists if l])
+        if any(lists)
+        else np.empty(0, dtype=np.int64)
+    )
+    starts = np.concatenate(
+        ([0], np.cumsum([len(l) for l in lists])[:-1])
+    ).astype(np.int64)
+    buf, offs = delta_varint_encode_grouped(flat, starts)
+    assert len(offs) == len(lists) + 1
+    for i, l in enumerate(lists):
+        assert (
+            buf[offs[i]: offs[i + 1]].tobytes()
+            == delta_varint_encode(np.array(l, dtype=np.int64))
+        )
+
+
+def test_grouped_encode_empty_group_edges():
+    # trailing empty group: starts contains vals.size
+    buf, offs = delta_varint_encode_grouped(
+        np.array([5, 9], dtype=np.int64), np.array([0, 2], dtype=np.int64)
+    )
+    assert list(offs) == [0, len(buf), len(buf)]
+    assert list(delta_varint_decode(buf.tobytes())) == [5, 9]
+    # leading empty group: its slice is empty, not the whole buffer
+    buf, offs = delta_varint_encode_grouped(
+        np.array([5, 9], dtype=np.int64), np.array([0, 0], dtype=np.int64)
+    )
+    assert offs[1] - offs[0] == 0
+    assert buf[offs[1]: offs[2]].tobytes() == delta_varint_encode(
+        np.array([5, 9], dtype=np.int64)
+    )
+
+
 def test_hot_term_posting_rows_are_bounded(spark):
     """A term occurring in EVERY doc still yields posting rows of at
     most docs_per_segment entries each — the skew cap the 10^12-turn
