@@ -257,13 +257,25 @@ def connected_components(
         )
 
     fp_prev = None
+    converged = False
     for _ in range(max_rounds):
         edges = _star(edges, large=True)
         edges = _star(edges, large=False).localCheckpoint(eager=True)
         fp = _fingerprint(edges)
         if fp == fp_prev:
+            converged = True
             break
         fp_prev = fp
+    if not converged:
+        # an unconverged edge set can SPLIT one true component into
+        # several labels — silently returning that would be wrong data
+        # (ADVICE r2). O(log^2 n) theory puts 16 rounds at ~10^4
+        # components-of-chains; a legitimate graph that needs more gets
+        # a bigger budget, not silently split clusters.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; rerun with a larger max_rounds"
+        )
     # converged edge set is a union of stars pointing at component
     # minima; a node's label is its smallest neighbor (or itself for
     # the minimum node of each component)

@@ -51,14 +51,35 @@ def pagerank(
       measured 2× on the 600k-node bench graph at 32 cores. The tuned
       count applies to every sweep (the final ranks are materialized
       inside the tuned scope via localCheckpoint).
+
+    NOTE the tuning works by setting ``spark.sql.shuffle.partitions``
+    for the DURATION OF THIS CALL (restored in ``finally``): the
+    per-sweep ``groupBy("dst")`` must keep its map-side partial
+    aggregation ahead of the exchange, which an explicit
+    ``repartition(n, "dst")`` before the groupBy would forfeit — so
+    the exchange width has to come from the session conf. Queries run
+    CONCURRENTLY on the same SparkSession during a pagerank call will
+    plan their shuffles with the tuned count; callers who share a
+    session across threads should pass ``num_partitions`` equal to the
+    session default or serialize access. If the session conf value is
+    non-numeric (a deployment override like "auto"), size tuning is
+    skipped and the conf is left untouched.
     """
     spark = edges.sparkSession
     conf_parts = spark.conf.get("spark.sql.shuffle.partitions")
     edges = edges.select("src", "dst")
+    try:
+        session_parts = int(conf_parts)
+    except (TypeError, ValueError):
+        session_parts = None
     if num_partitions is None:
-        n_edges = edges.count()
-        num_partitions = max(8, min(int(conf_parts), n_edges // 200_000))
-    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        if session_parts is None:
+            num_partitions = None  # unparseable conf: leave it alone
+        else:
+            n_edges = edges.count()
+            num_partitions = max(8, min(session_parts, n_edges // 200_000))
+    if num_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
     try:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -69,12 +90,12 @@ def pagerank(
         # fold outdeg into the stationary edge table ONCE, co-partitioned
         # with the per-sweep join key (explicit numPartitions => exempt
         # from AQE coalescing, so the layout is stable across sweeps)
-        edges_od = (
-            edges.join(outdeg, "src")
-            .select("src", "dst", "outdeg")
-            .repartition(num_partitions, "src")
-            .cache()
-        )
+        edges_od = edges.join(outdeg, "src").select("src", "dst", "outdeg")
+        if num_partitions is not None:
+            edges_od = edges_od.repartition(num_partitions, "src")
+        else:
+            edges_od = edges_od.repartition("src")
+        edges_od = edges_od.cache()
         # nodes that never appear as a dst: PR(p) = (1-d) + d*0, constant
         no_in = (
             nodes.join(
@@ -102,7 +123,8 @@ def pagerank(
         # materialize while the tuned partitioning is in force
         ranks = ranks.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
+        if num_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
     return ranks
 
 

@@ -119,6 +119,13 @@ def search_prefix(index: InvertedIndex, prefix: str) -> DataFrame:
 
     The prefix is lowercased but NOT stemmed — stemming rewrites
     suffixes, which is exactly what a prefix query must leave open.
+    LIMITATION on a ``stem=True`` index: the dictionary stores STEMS,
+    so a surface-form prefix longer than a term's stem silently
+    misses docs (``"running"`` never matches the stored ``"run"``).
+    Prefix search is exact only on unstemmed indexes; on stemmed
+    indexes it matches stem prefixes — callers who need surface-form
+    prefixes should keep an unstemmed index (or an extra surface-term
+    column) alongside.
     ``startswith`` compiles to a StringStartsWith filter that pushes
     into the parquet scan of a persisted index; because the on-disk
     layout sorts rows by term inside each segment file, row-group

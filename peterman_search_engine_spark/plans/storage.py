@@ -121,9 +121,13 @@ class TableStore:
         """Append-commit (iceberg: snapshot append; parquet: new files
         into the directory)."""
         if self.mode == "iceberg":
-            try:
+            # branch on existence rather than try/except: a transient
+            # append failure (permissions, commit conflict, schema
+            # mismatch) must surface as itself, not as a confusing
+            # "table already exists" from a fallback create()
+            if self.exists(name):
                 df.writeTo(self._ident(name)).append()
-            except Exception:
+            else:
                 df.writeTo(self._ident(name)).using("iceberg").create()
         else:
             df.write.mode("append").parquet(self._path(name))
