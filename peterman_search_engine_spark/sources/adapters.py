@@ -43,13 +43,24 @@ def assign_dense_doc_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
     combine a driver-side prefix sum of partition counts with a
     partition-local row_number. The only wide exchange is the range
     partitioner; no stage ever sees more than one partition of data.
+
+    The ordered layout is ``localCheckpoint``-ed before the counts are
+    taken — this is CORRECTNESS, not caching: the range partitioner
+    samples its split boundaries with an rdd-id-derived seed, so a
+    re-evaluation can place rows in different partitions than the ones
+    the counts (and hence the per-partition id bases) were computed
+    from, yielding duplicate/skipped doc_ids. The checkpoint pins ONE
+    partitioning for both the counts action and every downstream scan.
+    (On a multi-executor cluster prefer ``spark.checkpoint`` to a
+    reliable dir for fault tolerance; localCheckpoint trades that for
+    speed, which is the right call for a single-job build whose retry
+    unit is the whole group anyway.)
     """
-    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    # NOTE: the per-partition counts below are an eager collect, and
-    # downstream actions re-run the range exchange — callers that scan
-    # the result more than once should checkpoint/persist it (bench
-    # and the build jobs do); an unconditional checkpoint here costs
-    # more than the recompute for single-scan callers.
+    ordered = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
+    )
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     # Tiny aggregate: one row per partition.
     counts = {

@@ -165,3 +165,115 @@ def generate_transcripts(
     if num_partitions:
         df = df.repartition(num_partitions)
     return df
+
+
+# -- topical corpus (burstiness fixture) --------------------------------------
+#
+# The tier generator above draws every token i.i.d. from one global
+# Zipf — statistically convenient, but real transcripts are TOPICAL:
+# a conversation about a subject repeats its terms across many turns
+# and never mentions them elsewhere. That burstiness is what makes
+# per-block score upper bounds separate, i.e. it is the regime the
+# block-max WAND prune (operators/wand.py) is built for. This
+# generator models it while keeping the existing tiers byte-identical.
+
+N_TOPICS = 200
+TOPIC_SIG_SIZE = 15
+TOPIC_VOCAB_SIZE = 5000
+
+
+def _topic_vocab(seed: int) -> list[str]:
+    rng = random.Random(seed + 7)
+    vocab = list(_CONTENT_ROOTS)
+    while len(vocab) < TOPIC_VOCAB_SIZE:
+        vocab.append(
+            "t" + "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        )
+    return vocab
+
+
+def topic_signatures(seed: int = 42) -> list[list[str]]:
+    """Per-topic signature term lists, deterministic in ``seed``.
+    Topic t's signature is drawn from the tail of the topic vocab so
+    signatures are (mostly) disjoint from the global hot head."""
+    vocab = _topic_vocab(seed)
+    sigs = []
+    for t in range(N_TOPICS):
+        rng = random.Random((seed << 20) ^ (t * 2654435761 % 2**31))
+        sigs.append(rng.sample(vocab[100:], TOPIC_SIG_SIZE))
+    return sigs
+
+
+def generate_topical_transcripts(
+    spark: SparkSession,
+    n_conv: int,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    topic_word_p: float = 0.55,
+) -> DataFrame:
+    """Distributed deterministic topical corpus: each conversation
+    picks ONE topic (Zipf over topics, so some topics are hot) and
+    draws ``topic_word_p`` of its content words from that topic's
+    signature, the rest from the global Zipf vocabulary. Rows are
+    generated inside ``mapInPandas`` partitions keyed purely on
+    conv id + seed — output is independent of partitioning, so the
+    same (n_conv, seed) is reproducible at any parallelism (the same
+    invariant the docmap relies on at 10^12-turn scale, where a
+    driver-side row list would never fit)."""
+    sigs = topic_signatures(seed)
+    vocab = _topic_vocab(seed)
+    head_weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    stops = list(_STOPS)
+    epoch = _dt.datetime(2020, 1, 1)
+    roles = ["user", "assistant", "tool"]
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+            for c in pdf["id"]:
+                c = int(c)
+                rng = random.Random((seed << 24) ^ c)
+                # Zipf over topics: hot topics take many convs
+                topic = min(
+                    int(rng.paretovariate(1.1)) - 1 + int(rng.random() * 3),
+                    N_TOPICS - 1,
+                )
+                sig = sigs[topic]
+                sig_weights = [1.0 / (i + 1) for i in range(len(sig))]
+                for t_idx in range(turns_per_conv):
+                    n_words = 6 + rng.randrange(18)
+                    words = []
+                    for _ in range(n_words):
+                        if rng.random() < topic_word_p:
+                            words.append(
+                                rng.choices(sig, weights=sig_weights, k=1)[0]
+                            )
+                        else:
+                            words.append(
+                                rng.choices(vocab, weights=head_weights, k=1)[0]
+                            )
+                    toks = []
+                    for w in words:
+                        if rng.random() < 0.35:
+                            toks.append(rng.choice(stops))
+                        if rng.random() < 0.15:
+                            w = w.capitalize()
+                        toks.append(w + (rng.choice(_PUNCT) if rng.random() < 0.2 else ""))
+                    role = roles[t_idx % 3]
+                    out["conv_id"].append(f"conv{c:08d}")
+                    out["turn_idx"].append(t_idx)
+                    out["role"].append(role)
+                    out["text"].append(" ".join(toks))
+                    out["tool"].append("search" if role == "tool" else "")
+                    out["ts"].append(epoch + _dt.timedelta(minutes=c * turns_per_conv + t_idx))
+            yield pd.DataFrame(out)
+
+    parts = num_partitions or max(32, n_conv // 20_000)
+    base = spark.range(n_conv).repartition(parts)
+    return base.mapInPandas(
+        _gen,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )

@@ -201,3 +201,61 @@ def test_non_ascii_corpus_fallback(spark):
     )
     assert jvm == fused == aligned
     assert any(t == "héllo" for t, *_ in jvm)
+
+
+def test_assign_dense_doc_ids_no_duplicates_many_partitions(spark):
+    """Regression (r3): the range partitioner samples split boundaries
+    with an rdd-id-derived seed, so before the internal localCheckpoint
+    the per-partition count bases could disagree with the partitioning
+    a later evaluation produced — duplicate doc_ids on wide inputs.
+    Trigger shape: a many-partition generated input with fine-grained
+    keys, scanned twice."""
+    from peterman_search_engine_spark.sources.adapters import (
+        assign_dense_doc_ids,
+    )
+    from peterman_search_engine_spark.sources.transcripts import (
+        generate_topical_transcripts,
+    )
+
+    n_conv, turns = 2_000, 10
+    tr = generate_topical_transcripts(spark, n_conv, turns, num_partitions=16)
+    ids = assign_dense_doc_ids(tr, ["conv_id", "turn_idx"])
+    # scan 1: duplicate-free and dense
+    agg = ids.groupBy("doc_id").count().agg(
+        F.max("count").alias("m"),
+        F.countDistinct("doc_id").alias("d"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    assert (agg["m"], agg["d"], agg["lo"], agg["hi"]) == (
+        1, n_conv * turns, 0, n_conv * turns - 1,
+    )
+    # scan 2 (an INDEPENDENT evaluation): same assignment
+    h1 = ids.select(
+        F.sum(F.pmod(F.xxhash64("doc_id", "conv_id", "turn_idx"), F.lit(2**31 - 1))).alias("h")
+    ).collect()[0]["h"]
+    h2 = ids.select(
+        F.sum(F.pmod(F.xxhash64("doc_id", "conv_id", "turn_idx"), F.lit(2**31 - 1))).alias("h")
+    ).collect()[0]["h"]
+    assert h1 == h2
+
+
+def test_topical_generator_deterministic_across_partitioning(spark):
+    from peterman_search_engine_spark.sources.transcripts import (
+        generate_topical_transcripts,
+    )
+
+    def fp(df):
+        return df.select(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+                    F.lit(2**31 - 1),
+                )
+            ).alias("h")
+        ).collect()[0]["h"]
+
+    a = generate_topical_transcripts(spark, 500, num_partitions=3)
+    b = generate_topical_transcripts(spark, 500, num_partitions=11)
+    assert a.count() == 5_000
+    assert fp(a) == fp(b)
