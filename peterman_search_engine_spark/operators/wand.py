@@ -263,6 +263,38 @@ def bm25_topk_wand(
         )
     )
 
+    # MaxScore essential/non-essential term split (Turtle & Flood
+    # 1995; the block-max variant is today's standard pairing with
+    # block-max bounds). Sort query terms ascending by global
+    # max-score ms_t = w_t·max(ub_t); the maximal prefix whose
+    # cumulative sum stays below θ is NON-ESSENTIAL — a doc containing
+    # only those terms scores at most that prefix sum < θ and can
+    # never enter the top-k, so candidate generation decodes
+    # ESSENTIAL terms' surviving blocks only (non-essential terms
+    # still contribute exactly in the rescore). This is the
+    # load-bearing prune for the rare-AND-common query shape: a
+    # sparse term's 128-doc blocks each span a huge doc_id range, so
+    # EVERY hot-term block "overlaps" one and range slack alone keeps
+    # the whole hot posting list alive — while under MaxScore the hot
+    # term (w·ub ≪ θ) is non-essential and none of its blocks are
+    # ever decoded. The window runs over #query-terms rows inside a
+    # broadcast subplan — single-partition by construction and
+    # metadata-sized.
+    from pyspark.sql.window import Window as _W
+
+    ms = meta.join(wdf, "term").groupBy("term").agg(
+        F.max(F.col("w") * F.col("ub")).alias("ms")
+    )
+    _wcum = _W.orderBy(F.asc("ms"), F.asc("term")).rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    essential = F.broadcast(
+        ms.crossJoin(theta_df)
+        .withColumn("cum", F.sum("ms").over(_wcum))
+        .filter(F.col("cum") >= F.col("theta"))
+        .select("term")
+    )
+
     # Per-block slack for the OTHER query terms: classic block-max
     # alignment — a doc in block b of term t can only draw term t''s
     # contribution from a t'-block whose doc range OVERLAPS b's, so the
@@ -270,17 +302,37 @@ def bm25_topk_wand(
     # when none overlap: the doc has no t' posting at all). This is
     # dramatically tighter than the segment-level max for multi-term
     # queries, and still a valid upper bound. The overlap join runs on
-    # block METADATA only (|postings|/block_size rows per term).
+    # block METADATA only (|postings|/block_size rows per term), and
+    # is BUCKETIZED: each block row is exploded to the fixed-width
+    # doc_id buckets its range spans and the join runs on
+    # (segment, bucket) equality plus the exact range predicate — a
+    # hot term's blocks land in ~1 bucket each, so the per-segment
+    # all-pairs comparison the naive segment-equi-join would do
+    # (quadratic in blocks per segment, exactly when the gate opens)
+    # becomes per-bucket products of near-constant size. The max/sum
+    # aggregation dedupes pairs that meet in several buckets.
     wb = meta.join(wdf, "term").select(
         "rid", "segment", "term", "bi", "lo", "hi",
         (F.col("w") * F.col("ub")).alias("wub"),
     )
-    a = wb.alias("a")
-    o = wb.alias("b")
+    bw = 8192  # bucket width in doc_ids; spans/bw buckets per block
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("lo") / bw).cast("long"), (F.col("hi") / bw).cast("long")
+                )
+            ),
+        )
+
+    a = _bucketed(wb.join(essential, "term")).alias("a")
+    o = _bucketed(wb).alias("b")
     pair_slack = (
         a.join(
             o,
             (F.col("a.segment") == F.col("b.segment"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.term") != F.col("b.term"))
             & (F.col("b.lo") <= F.col("a.hi"))
             & (F.col("b.hi") >= F.col("a.lo")),
@@ -307,6 +359,7 @@ def bm25_topk_wand(
     if return_stats:
         seeds = [r["segment"] for r in seeds_df.collect()]
         theta = float(theta_df.collect()[0]["theta"])
+        ess = sorted(r["term"] for r in essential.collect())
         n_blocks_total = meta.join(seeds_df, "segment", "left_anti").count()
         n_blocks_kept = surviving.select(F.explode("bis")).count()
 
@@ -347,6 +400,7 @@ def bm25_topk_wand(
         return final, {
             "theta": theta,
             "seed_segments": seeds,
+            "essential_terms": ess,
             "blocks_total_nonseed": n_blocks_total,
             "blocks_decoded": n_blocks_kept,
             "prune_ratio": round(1 - n_blocks_kept / n_blocks_total, 4)
