@@ -8,6 +8,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from peterman_search_engine_spark.plans.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: bulk-scale stress tests (minutes, not seconds)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("pse-tests", shuffle_partitions=8)
