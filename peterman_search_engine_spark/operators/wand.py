@@ -8,9 +8,16 @@ first-doc_ids and BM25 upper bounds (``indexer._make_encode_udf``:
 ``tf*(k1+1)/(tf+k1*(1-b+b*len/avglen))``; multiplying by the per-term
 constant ``qtf*idf`` gives a valid block score bound).
 
-Exact top-k as ONE lazy DataFrame plan (a single Spark action unless
-``return_stats``): per-term idf, seed selection, and the threshold θ
-are broadcast subplans, never driver collects.
+Exact top-k as a short sequence of metadata-bounded jobs whose
+results become driver-side planning state (θ, seed segments, the
+MaxScore term partition) — the way production WAND engines hold these
+in the query planner. Driver collects are O(|query terms|) dictionary
+rows, O(|segments|·|query terms|) per-segment block maxima, and O(k)
+seed scores: scale-free relative to posting volume. (An earlier
+all-lazy single-plan formulation re-evaluated the seed-scoring and
+block-metadata subtrees once per broadcast branch and lost 2× wall
+clock to plan overhead despite a 0.9998 prune ratio in the winning
+regime — measured in BENCH/wand_regime.json.)
 
 A. **seed**: exactly score the most promising segments (highest
    Σ-term upper bound); θ = the k-th best seed (score, doc_id).
@@ -69,10 +76,16 @@ from .indexer import B, K1, InvertedIndex
 from .query import bm25_scores, top_k_df
 
 # Break-even posting volume for the pruned plan (Σ df over query
-# terms). Below this the exhaustive scan is cheaper than the pruned
-# plan's fixed job overhead; at 10^12-turn scale any non-rare term
-# clears it by orders of magnitude. Tunable per deployment.
-DEFAULT_PRUNE_MIN_ENTRIES = 10_000_000
+# terms). MEASURED, not guessed (scripts/wand_regime.py, local[32]):
+# at Σdf = 1.04e7 exhaustive wins 3.4 s vs 8.3 s pruned (the pruned
+# plan's fixed job overhead dominates when the exhaustive scan is
+# already cheap — BENCH/wand_regime_below_gate.json); at Σdf = 1.04e8
+# pruned wins 13.8 s vs 38.2 s (BENCH/wand_regime.json). Fitting
+# wall = fixed + slope·Σdf to both plans puts the crossover at
+# ~2.6e7 entries; 3e7 adds margin on the exhaustive side (the cheap
+# mistake). At 10^12-turn scale any non-rare term clears the gate by
+# orders of magnitude. Tunable per deployment.
+DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 
 
 def _qtf(toks: list[str]) -> dict[str, int]:
@@ -167,61 +180,72 @@ def bm25_topk_wand(
             return res, {"gated_exhaustive": True, "reason": "tombstones"}
         return res
 
-    if not force_prune:
-        # cost gate: one metadata-sized lookup (term_stats is
-        # #distinct-terms rows; the reference reads the same df numbers
-        # from its dictionary slots, IIM:705-715)
-        est = index.term_stats.filter(
-            F.col("term").isin(sorted(qtf))
-        ).agg(F.sum("df").alias("e")).collect()[0]["e"]
-        est = int(est or 0)
-        if est < prune_min_entries:
-            res = bm25_topk_exhaustive(index, terms, k)
-            if return_stats:
-                return res, {"gated_exhaustive": True, "est_entries": est}
-            return res
+    # One dictionary lookup serves both the cost gate and the per-term
+    # weights (the reference reads the same df numbers from its
+    # dictionary slots, IIM:705-715): #query-terms rows.
+    trows = index.term_stats.filter(
+        F.col("term").isin(sorted(qtf))
+    ).select("term", "df").collect()
+    est = int(sum(r["df"] for r in trows))
+    if not force_prune and est < prune_min_entries:
+        res = bm25_topk_exhaustive(index, terms, k)
+        if return_stats:
+            return res, {"gated_exhaustive": True, "est_entries": est}
+        return res
 
-    # The ENTIRE pruned top-k is ONE lazy plan (single Spark job when
-    # return_stats is off): per-term idf, seed selection and the
-    # threshold θ are subplans (broadcast 1-to-few-row DataFrames),
-    # not driver collects — at any scale the only action is the final
-    # top-k itself.
+    # The pruned path runs as a handful of METADATA-BOUNDED jobs whose
+    # results become driver-side planning state — exactly how
+    # production WAND engines hold θ and the MaxScore term partition
+    # in the query planner. Driver collects are O(|qterms|) weights,
+    # O(|segments|·|qterms|) block maxima, and O(k) seed scores —
+    # scale-free relative to posting volume. (An earlier all-lazy
+    # formulation re-evaluated the seed-scoring and block-metadata
+    # subtrees once per broadcast branch and lost 2× wall to plan
+    # overhead despite a 0.9998 prune ratio.)
+    import math
+
     n = float(index.n_docs)
-    qdf = spark.createDataFrame(sorted(qtf.items()), "term string, qtf int")
-    idf_col = F.log(
-        F.lit(1.0)
-        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
     # query terms absent from the corpus drop out here — the
     # reference's dictionary skip (IIM:617)
+    w = {
+        r["term"]: qtf[r["term"]]
+        * math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in trows
+    }
+    if not w:
+        return (empty, {"est_entries": 0}) if return_stats else empty
+    qterms = sorted(w)
     wdf = F.broadcast(
-        qdf.join(index.term_stats, "term").select(
-            "term", (F.col("qtf") * idf_col).alias("w")
-        )
+        spark.createDataFrame(sorted(w.items()), "term string, w double")
     )
 
-    qterms = sorted(set(toks))
     p = index.postings.filter(F.col("term").isin(qterms))
     meta = block_meta_df(index).filter(F.col("term").isin(qterms))
 
-    # per (segment, term) UB — MAX across that term's blocks AND across
-    # duplicate rows (a doc lives in exactly one row) — then per-segment
-    # total UB. Metadata-sized throughout.
-    seg_ub = (
+    # JOB 1 — per-(segment, term) max w·ub: MAX across that term's
+    # blocks AND across duplicate rows (a doc lives in exactly one
+    # row, so max is a valid bound). One metadata aggregation,
+    # collected driver-side; both the seed choice (per-segment totals)
+    # and the MaxScore term maxima derive from these rows in plain
+    # Python.
+    tub = (
         meta.join(wdf, "term")
         .groupBy("segment", "term")
         .agg(F.max(F.col("w") * F.col("ub")).alias("t_ub"))
-        .groupBy("segment")
-        .agg(F.sum("t_ub").alias("seg_ub"))
+        .collect()
     )
-
-    # seed segments (highest UB first, deterministic tiebreak) as a
-    # broadcast subplan
-    seeds_df = F.broadcast(
-        seg_ub.orderBy(F.desc("seg_ub"), F.asc("segment"))
-        .limit(seed_segments)
-        .select("segment")
-    )
+    seg_tot: dict[int, float] = {}
+    ms: dict[str, float] = {}
+    for r in tub:
+        seg_tot[r["segment"]] = seg_tot.get(r["segment"], 0.0) + r["t_ub"]
+        ms[r["term"]] = max(ms.get(r["term"], 0.0), r["t_ub"])
+    # seed segments: highest total UB first, deterministic tiebreak
+    seeds = [
+        s
+        for s, _ in sorted(seg_tot.items(), key=lambda t: (-t[1], t[0]))[
+            :seed_segments
+        ]
+    ]
 
     def _exact(scoped: DataFrame, cand: DataFrame | None = None) -> DataFrame:
         hits = scoped.select(
@@ -243,57 +267,42 @@ def bm25_topk_wand(
             .agg(F.sum("_c").alias("score"))
         )
 
-    # the k best seed-segment scores in canonical (-score, doc_id)
-    # order. Docs live in exactly one segment, so a seed-segment doc
-    # outside this top-k is dominated by k better (score, doc_id)
-    # pairs and can never enter the global top-k — seed_topk therefore
-    # REPLACES the full seed scoring in the final union. θ = the k-th
-    # seed score (0 with fewer than k seeds), as a broadcast 1-row
-    # aggregate rather than a driver collect.
-    seed_topk = (
-        _exact(p.join(seeds_df, "segment"))
+    # JOB 2 — the k best seed-segment scores in canonical
+    # (-score, doc_id) order, collected (k rows). Docs live in exactly
+    # one segment, so a seed-segment doc outside this top-k is
+    # dominated by k better (score, doc_id) pairs and can never enter
+    # the global top-k — these rows REPLACE the full seed scoring in
+    # the final union. θ = the k-th seed score (0 with fewer than k
+    # seeds).
+    seed_rows = (
+        _exact(p.filter(F.col("segment").isin(seeds)))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+        .collect()
     )
-    theta_df = F.broadcast(
-        seed_topk.agg(
-            F.coalesce(
-                F.when(F.count("*") >= k, F.min("score")), F.lit(0.0)
-            ).alias("theta")
-        )
-    )
+    theta = float(seed_rows[-1]["score"]) if len(seed_rows) >= k else 0.0
 
     # MaxScore essential/non-essential term split (Turtle & Flood
     # 1995; the block-max variant is today's standard pairing with
-    # block-max bounds). Sort query terms ascending by global
-    # max-score ms_t = w_t·max(ub_t); the maximal prefix whose
-    # cumulative sum stays below θ is NON-ESSENTIAL — a doc containing
-    # only those terms scores at most that prefix sum < θ and can
-    # never enter the top-k, so candidate generation decodes
-    # ESSENTIAL terms' surviving blocks only (non-essential terms
-    # still contribute exactly in the rescore). This is the
-    # load-bearing prune for the rare-AND-common query shape: a
-    # sparse term's 128-doc blocks each span a huge doc_id range, so
-    # EVERY hot-term block "overlaps" one and range slack alone keeps
-    # the whole hot posting list alive — while under MaxScore the hot
-    # term (w·ub ≪ θ) is non-essential and none of its blocks are
-    # ever decoded. The window runs over #query-terms rows inside a
-    # broadcast subplan — single-partition by construction and
-    # metadata-sized.
-    from pyspark.sql.window import Window as _W
-
-    ms = meta.join(wdf, "term").groupBy("term").agg(
-        F.max(F.col("w") * F.col("ub")).alias("ms")
-    )
-    _wcum = _W.orderBy(F.asc("ms"), F.asc("term")).rowsBetween(
-        _W.unboundedPreceding, 0
-    )
-    essential = F.broadcast(
-        ms.crossJoin(theta_df)
-        .withColumn("cum", F.sum("ms").over(_wcum))
-        .filter(F.col("cum") >= F.col("theta"))
-        .select("term")
-    )
+    # block-max bounds), over |qterms| numbers in plain Python. Sort
+    # terms ascending by global max-score ms_t = w_t·max(ub_t); the
+    # maximal prefix whose cumulative sum stays below θ is
+    # NON-ESSENTIAL — a doc containing only those terms scores at
+    # most that prefix sum < θ and can never enter the top-k, so
+    # candidate generation decodes ESSENTIAL terms' surviving blocks
+    # only (non-essential terms still contribute exactly in the
+    # rescore). This is the load-bearing prune for the rare-AND-common
+    # query shape: a sparse term's 128-doc blocks each span a huge
+    # doc_id range, so EVERY hot-term block "overlaps" one and range
+    # slack alone keeps the whole hot posting list alive — while
+    # under MaxScore the hot term (w·ub ≪ θ) is non-essential and
+    # none of its blocks are ever decoded.
+    ess: list[str] = []
+    cum = 0.0
+    for t in sorted(qterms, key=lambda t: (ms[t], t)):
+        cum += ms[t]
+        if ess or cum >= theta:
+            ess.append(t)
 
     # Per-block slack for the OTHER query terms: classic block-max
     # alignment — a doc in block b of term t can only draw term t''s
@@ -326,7 +335,7 @@ def bm25_topk_wand(
             ),
         )
 
-    a = _bucketed(wb.join(essential, "term")).alias("a")
+    a = _bucketed(wb.filter(F.col("term").isin(ess))).alias("a")
     o = _bucketed(wb).alias("b")
     pair_slack = (
         a.join(
@@ -350,24 +359,23 @@ def bm25_topk_wand(
         .agg(F.sum(F.coalesce("o_max", F.lit(0.0))).alias("others"))
     )
     surviving = (
-        pair_slack.crossJoin(theta_df)
-        .filter(F.col("wub") + F.col("others") >= F.col("theta"))
-        .join(seeds_df, "segment", "left_anti")
+        pair_slack.filter(F.col("wub") + F.col("others") >= F.lit(theta))
+        .filter(~F.col("segment").isin(seeds))
         .groupBy("rid", "segment")
         .agg(F.sort_array(F.collect_list("bi")).alias("bis"))
     )
     if return_stats:
-        seeds = [r["segment"] for r in seeds_df.collect()]
-        theta = float(theta_df.collect()[0]["theta"])
-        ess = sorted(r["term"] for r in essential.collect())
-        n_blocks_total = meta.join(seeds_df, "segment", "left_anti").count()
+        n_blocks_total = meta.filter(~F.col("segment").isin(seeds)).count()
         n_blocks_kept = surviving.select(F.explode("bis")).count()
 
     # decode surviving blocks' doc_ids from the blob (value-range slice;
     # blocks are fixed-size value runs — codec.block_offsets), joined
-    # back to posting rows by the content-derived row id
+    # back to posting rows by the content-derived row id. Only
+    # essential terms' non-seed rows can survive, so the blob scan is
+    # pre-filtered to them.
     rows = (
-        p.withColumn("rid", rid_col())
+        p.filter(F.col("term").isin(ess) & ~F.col("segment").isin(seeds))
+        .withColumn("rid", rid_col())
         .join(surviving.select("rid", "bis"), "rid")
         .select("blob", "bis")
     )
@@ -394,13 +402,20 @@ def bm25_topk_wand(
     surv_segs = surviving.select("segment").distinct()
     resc = _exact(p.join(surv_segs, "segment"), cand)
     # seed segments are excluded from surv_segs, and a doc lives in
-    # exactly one segment — seed_topk and resc are disjoint, union only
-    final = top_k_df(seed_topk.unionByName(resc), k)
+    # exactly one segment — the seed rows and resc are disjoint, union
+    # only (the seed top-k is k driver-held rows, re-injected as a
+    # local relation)
+    seed_df = spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in seed_rows],
+        "doc_id long, score double",
+    )
+    final = top_k_df(seed_df.unionByName(resc), k)
     if return_stats:
         return final, {
             "theta": theta,
+            "est_entries": est,
             "seed_segments": seeds,
-            "essential_terms": ess,
+            "essential_terms": sorted(ess),
             "blocks_total_nonseed": n_blocks_total,
             "blocks_decoded": n_blocks_kept,
             "prune_ratio": round(1 - n_blocks_kept / n_blocks_total, 4)

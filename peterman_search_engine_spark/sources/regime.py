@@ -99,6 +99,8 @@ def build_regime_index(
     *,
     n_hot: int = 8,
     partitions: int = 32,
+    rare_every: int = 250,
+    rare_span: int = 500_000,
 ) -> "InvertedIndex":
     """Build the regime index via the zero-shuffle aligned path.
 
@@ -117,9 +119,14 @@ def build_regime_index(
         postings_from_aligned_corpus,
     )
 
-    corpus = generate_rare_common_corpus(
-        spark, n_docs, n_hot=n_hot, partitions=partitions
-    ).localCheckpoint(eager=True)
+    # disk-back the generated corpus (it is scanned twice below);
+    # localCheckpoint would pin tens of millions of rows on the heap
+    # at study sizes, parquet costs one cheap columnar write
+    generate_rare_common_corpus(
+        spark, n_docs, n_hot=n_hot, partitions=partitions,
+        rare_every=rare_every, rare_span=rare_span,
+    ).write.mode("overwrite").parquet(f"{work_dir}/corpus")
+    corpus = spark.read.parquet(f"{work_dir}/corpus")
     corpus.select(
         "doc_id", F.size(tokens_expr("text")).alias("doc_len")
     ).write.mode("overwrite").parquet(f"{work_dir}/doc_stats")
@@ -132,7 +139,7 @@ def build_regime_index(
     postings.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).write.mode("overwrite").parquet(f"{work_dir}/term_stats")
-    return InvertedIndex(
+    index = InvertedIndex(
         postings=postings,
         term_stats=spark.read.parquet(f"{work_dir}/term_stats"),
         doc_stats=doc_stats,
@@ -142,3 +149,14 @@ def build_regime_index(
         stem=False,
         block_size=DEFAULT_BLOCK_SIZE,
     )
+    # persist the narrow block-metadata relation like plans.checkpoint
+    # does: WAND's metadata jobs then scan |postings|/block_size tiny
+    # rows instead of re-deriving block ranges from the wide posting
+    # arrays on every evaluation
+    from ..operators.wand import block_meta_df
+
+    block_meta_df(index).write.mode("overwrite").parquet(
+        f"{work_dir}/block_meta"
+    )
+    index.block_meta = spark.read.parquet(f"{work_dir}/block_meta")
+    return index

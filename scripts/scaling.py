@@ -228,6 +228,11 @@ def main() -> None:
                 continue
             if row.get("build_fp") != fp:
                 continue
+            if row.get("tainted"):
+                # rows measured under known cross-contamination (e.g.
+                # overlapping gathers contending for the same cpusets)
+                # stay in the history for audit but never enter stats
+                continue
             obs.setdefault(row["leg"], []).append(row)
     best: dict[str, dict] = {}
     med: dict[str, dict] = {}

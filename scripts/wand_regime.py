@@ -7,9 +7,19 @@ so the pruned path had never been measured where it should win. This
 script synthesises that regime deterministically
 (``sources.regime``), checks the gate opens on the SHIPPED
 configuration (no knob lowering — sum df over the 9 query terms is
-~4*n_docs + df(rare) >= 1e7 at the default 2.6M docs), and measures
-both plans interleaved (E,P,E,P,...) per the host-interference
-protocol in BENCH/BASELINE.md.
+~4*n_docs + df(rare) ~= 1.04e8 >= 3e7 at the default 26M docs), and
+measures both plans interleaved (E,P,E,P,...) per the
+host-interference protocol in BENCH/BASELINE.md.
+
+The gate constant itself is grounded by TWO sizes of this study:
+26M docs (pruned wins 2.8x, BENCH/wand_regime.json) and 2.6M docs
+(pruned loses 0.41x — BENCH/wand_regime_below_gate.json, gathered
+with ``--n-docs 2600000 --rare-every 250 --rare-span 500000
+--force-prune``); the fitted crossover is ~2.6e7 entries (see
+DEFAULT_PRUNE_MIN_ENTRIES in operators/wand.py).
+
+The 26M build needs ~20g driver heap (exhaustive explodes ~1e8
+postings across 32 threads); run with ``PSE_DRIVER_MEM=32g``.
 
 Writes BENCH/wand_regime.json and prints one JSON line.
 
@@ -37,13 +47,22 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=2_600_000)
+    ap.add_argument("--n-docs", type=int, default=26_000_000)
+    ap.add_argument("--suffix", default="",
+                    help="suffix for the BENCH/wand_regime<suffix>.json output")
+    ap.add_argument("--force-prune", action="store_true",
+                    help="measure the pruned plan below the cost gate "
+                         "(diagnostic: evidence for the gate constant)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/pse_wand_regime")
     ap.add_argument("--keep", action="store_true",
                     help="reuse an existing build in --work-dir")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--rare-every", type=int, default=2_000)
+    ap.add_argument("--rare-span", type=int, default=4_000_000,
+                    help="rare docs span several segments so the prune "
+                         "phase has real non-seed blocks to keep")
     args = ap.parse_args()
 
     from peterman_search_engine_spark.operators.wand import (
@@ -82,8 +101,15 @@ def main() -> None:
             stem=False,
             block_size=DEFAULT_BLOCK_SIZE,
         )
+        if os.path.exists(f"{args.work_dir}/block_meta"):
+            index.block_meta = spark.read.parquet(
+                f"{args.work_dir}/block_meta"
+            )
     else:
-        index = build_regime_index(spark, args.work_dir, args.n_docs)
+        index = build_regime_index(
+            spark, args.work_dir, args.n_docs,
+            rare_every=args.rare_every, rare_span=args.rare_span,
+        )
     build_sec = round(time.perf_counter() - t0, 2)
 
     q = regime_query()
@@ -91,30 +117,49 @@ def main() -> None:
     # gate + prune audit (untimed): the shipped config must open the
     # gate on its own statistics — a gated_exhaustive here means the
     # regime is mis-sized and the A/B below would compare a plan to
-    # itself.
-    _, stats = bm25_topk_wand(index, q, args.k, return_stats=True)
+    # itself. With --force-prune the pruned plan is measured anyway
+    # (the below-gate diagnostic that grounds the gate constant).
+    _, stats = bm25_topk_wand(
+        index, q, args.k, return_stats=True, force_prune=args.force_prune
+    )
     if stats.get("gated_exhaustive"):
         raise SystemExit(f"gate did not open: {stats}")
 
-    # correctness: pruned == exhaustive on this corpus
-    ex = [
-        (r.doc_id, round(r.score, 9))
-        for r in bm25_topk_exhaustive(index, q, args.k).collect()
-    ]
-    pr = [
-        (r.doc_id, round(r.score, 9))
-        for r in bm25_topk_wand(index, q, args.k).collect()
-    ]
+    # correctness: pruned == exhaustive on this corpus. Mathematically
+    # tied scores (structurally identical rare docs) evaluate with
+    # ~1e-15 float noise that differs between the two plans' summation
+    # orders, so compare under the driver-oracle convention: fetch a
+    # superset, round scores to 1e-6, re-sort by (-score, doc_id),
+    # then take the top k.
+    k_fetch = max(50, 5 * args.k)
+
+    def canon(rows):
+        return sorted(
+            ((round(r.score, 6), r.doc_id) for r in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[: args.k]
+
+    ex = canon(bm25_topk_exhaustive(index, q, k_fetch).collect())
+    pr = canon(
+        bm25_topk_wand(
+            index, q, k_fetch, force_prune=args.force_prune
+        ).collect()
+    )
     assert ex == pr, (ex, pr)
 
-    # interleaved timed reps (host-interference protocol)
+    # one untimed warmup pair at the measured k (JIT + page cache),
+    # then interleaved timed reps (host-interference protocol)
+    bm25_topk_exhaustive(index, q, args.k).collect()
+    bm25_topk_wand(index, q, args.k, force_prune=args.force_prune).collect()
     e_secs, p_secs = [], []
     for _ in range(args.reps):
         t = time.perf_counter()
         bm25_topk_exhaustive(index, q, args.k).collect()
         e_secs.append(round(time.perf_counter() - t, 3))
         t = time.perf_counter()
-        bm25_topk_wand(index, q, args.k).collect()
+        bm25_topk_wand(
+            index, q, args.k, force_prune=args.force_prune
+        ).collect()
         p_secs.append(round(time.perf_counter() - t, 3))
 
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
@@ -123,7 +168,8 @@ def main() -> None:
         capture_output=True, text=True,
     ).stdout.strip()
     out = {
-        "n_docs": args.n_docs,
+        "n_docs": index.n_docs,
+        "force_prune": args.force_prune,
         "query": q,
         "k": args.k,
         "cpus": args.cpus,
@@ -138,7 +184,9 @@ def main() -> None:
         "commit": commit,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "wand_regime.json"), "w") as f:
+    with open(
+        os.path.join(REPO, "BENCH", f"wand_regime{args.suffix}.json"), "w"
+    ) as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     spark.stop()

@@ -10,6 +10,17 @@ and pruned == exhaustive equality under force_prune.
 import pytest
 from pyspark.sql import functions as F
 
+
+def canon_topk(rows, k):
+    """Driver-oracle comparison convention: structurally identical
+    docs score with ~1e-15 float noise that differs between plan
+    shapes' summation orders, so round to 1e-6, re-sort by
+    (-score, doc_id), and compare the top k of a fetched superset."""
+    return sorted(
+        ((round(r.score, 6), r.doc_id) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+
 from peterman_search_engine_spark.operators.wand import (
     bm25_topk_exhaustive,
     bm25_topk_wand,
@@ -103,20 +114,21 @@ def test_maxscore_split_and_exactness(regime_index):
     # blocks exist, minus the seed segment's
     assert 0 < stats["blocks_decoded"] <= (RARE_SPAN // RARE_EVERY) // 128 + 8
     assert stats["prune_ratio"] > 0.9
-    ex = [
-        (r.doc_id, round(r.score, 9))
-        for r in bm25_topk_exhaustive(regime_index, q, 10).collect()
-    ]
-    pr = [(r.doc_id, round(r.score, 9)) for r in pruned.collect()]
+    ex = canon_topk(bm25_topk_exhaustive(regime_index, q, 50).collect(), 10)
+    pr = canon_topk(
+        bm25_topk_wand(regime_index, q, 50, force_prune=True).collect(), 10
+    )
     assert ex == pr
     # sanity: the top-k really is rare-term docs
-    assert all(d % RARE_EVERY == 0 and d < RARE_SPAN for d, _ in pr)
+    assert all(d % RARE_EVERY == 0 and d < RARE_SPAN for _, d in pr)
 
 
 def test_build_regime_index_helper(spark, tmp_path):
     idx = build_regime_index(spark, str(tmp_path), 2_000, partitions=4)
     assert idx.n_docs == 2_000
     q = regime_query()
-    ex = bm25_topk_exhaustive(idx, q, 5).collect()
-    pr = bm25_topk_wand(idx, q, 5, force_prune=True).collect()
-    assert [r.doc_id for r in ex] == [r.doc_id for r in pr]
+    ex = canon_topk(bm25_topk_exhaustive(idx, q, 25).collect(), 5)
+    pr = canon_topk(
+        bm25_topk_wand(idx, q, 25, force_prune=True).collect(), 5
+    )
+    assert ex == pr
