@@ -26,6 +26,7 @@ from peterman_search_engine_spark.functions import textstats as TS
 from peterman_search_engine_spark.functions.analysis import tokens_expr
 from peterman_search_engine_spark.operators import dedup as DD
 from peterman_search_engine_spark.operators import query as Q
+from peterman_search_engine_spark.operators import ranking as RK
 from peterman_search_engine_spark.operators import similarity as SIM
 from peterman_search_engine_spark.operators.indexer import build_index, merge_segments
 from peterman_search_engine_spark.operators.wand import bm25_topk_wand
@@ -691,6 +692,100 @@ def q_pagerank(spark, sf):
     )
 
 
+# -- round-3 query/analysis operators ------------------------------------------
+
+FUZZY_TERM = "vectr"          # 1 edit from "vector"
+FUZZY_DIST = 1
+WILDCARD = "s*a*"             # scan, small, spark, stream
+SUGGEST_PREFIX = "s"
+GROUP_TERMS = OR_TERMS        # rank sources by summed member BM25
+GROUP_K = 5
+MLT_DOC = 7
+MLT_TERMS = 8
+PMI_MIN_COUNT = 5
+PMI_K = 20
+
+
+def q_fuzzy(spark, sf):
+    """Typo-tolerant search: dictionary terms within levenshtein<=1."""
+    return Q.search_fuzzy(_index(spark, sf), FUZZY_TERM, FUZZY_DIST)
+
+
+def q_wildcard(spark, sf):
+    """Wildcard term search over the dictionary (s*a*)."""
+    return Q.search_wildcard(_index(spark, sf), WILDCARD)
+
+
+def q_suggest(spark, sf):
+    """Autocomplete: top dictionary terms under a prefix by df."""
+    return Q.suggest_terms(_index(spark, sf), SUGGEST_PREFIX, TOP_K)
+
+
+def q_bm25f(spark, sf):
+    """Weighted-field BM25 (head = first 16 analyzed positions)."""
+    from peterman_search_engine_spark.operators.ranking import bm25f_scores
+
+    return _ranked_e6(bm25f_scores(_index(spark, sf), BM25_TERMS), TOP_K)
+
+
+def q_grouped_rank(spark, sf):
+    """Group-level retrieval: sources ranked by summed member BM25."""
+    from peterman_search_engine_spark.operators.ranking import grouped_topk
+
+    g = grouped_topk(
+        _index(spark, sf), GROUP_TERMS, _docs(spark, sf), "source", None
+    )
+    return (
+        g.select(
+            F.col("group").alias("grp"),
+            "n_docs",
+            _e6(F.col("score")).alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("grp"))
+        .limit(GROUP_K)
+    )
+
+
+def q_more_like_this(spark, sf):
+    """Query-by-example: BM25 over the example doc's top tf*idf terms."""
+    from peterman_search_engine_spark.operators.ranking import more_like_this
+
+    mlt = more_like_this(
+        _index(spark, sf), _corpus(spark, sf), MLT_DOC,
+        max_terms=MLT_TERMS, top_k=None,
+    )
+    return _ranked_e6(mlt, TOP_K)
+
+
+def q_bigram_pmi(spark, sf):
+    """Collocations: top-k adjacent analyzed bigrams by PMI."""
+    from peterman_search_engine_spark.operators.collocations import bigram_pmi
+
+    b = bigram_pmi(
+        _corpus(spark, sf), min_count=PMI_MIN_COUNT, top_k=None, stem=False
+    )
+    return (
+        b.select("w1", "w2", "n", _e6(F.col("pmi")).alias("pmi_e6"))
+        .orderBy(F.desc("pmi_e6"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_K)
+    )
+
+
+def q_redact(spark, sf):
+    """PII scrub of doc_id-augmented text; portable md5 of the result."""
+    from peterman_search_engine_spark.functions.textstats import md5_long, redact_pii
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-867-5309"),
+    )
+    return _docs(spark, sf).select(
+        "doc_id", md5_long(redact_pii(aug)).alias("red_hash")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 on sf0.001; driver checks rows>0."""
     return q_bm25(spark, "/root/testdata/sf0.001")
@@ -748,6 +843,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_window,
         "pagerank": q_pagerank,
         "combined_rank": q_combined_rank,
+        "fuzzy_search": q_fuzzy,
+        "wildcard_search": q_wildcard,
+        "suggest_terms": q_suggest,
+        "bm25f_topk": q_bm25f,
+        "grouped_rank": q_grouped_rank,
+        "more_like_this": q_more_like_this,
+        "bigram_pmi": q_bigram_pmi,
+        "text_redact": q_redact,
     }
 
 
@@ -838,4 +941,15 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": S.sql_events_window(),
         "pagerank": S.sql_pagerank(PR_ITERS),
         "combined_rank": S.sql_combined_rank(TFIDF_TERMS, TOP_K, PR_ITERS, PR_WEIGHT),
+        "fuzzy_search": S.sql_fuzzy(FUZZY_TERM, FUZZY_DIST),
+        "wildcard_search": S.sql_wildcard(WILDCARD),
+        "suggest_terms": S.sql_suggest(SUGGEST_PREFIX, TOP_K),
+        "bm25f_topk": S.sql_bm25f(
+            BM25_TERMS, TOP_K,
+            head_len=RK.HEAD_LEN, w_head=RK.W_HEAD, w_body=RK.W_BODY,
+        ),
+        "grouped_rank": S.sql_grouped(GROUP_TERMS, "source", GROUP_K),
+        "more_like_this": S.sql_more_like_this(MLT_DOC, MLT_TERMS, TOP_K),
+        "bigram_pmi": S.sql_bigram_pmi(PMI_MIN_COUNT, PMI_K),
+        "text_redact": S.sql_redact(TS.EMAIL_RE, TS.PHONE_RE),
     }

@@ -97,6 +97,9 @@ def main() -> None:
         "text_token_counts", "text_quality", "text_lang_id",
         "text_fingerprint", "events_hourly", "streaming_events_hourly",
         "streaming_bm25_topk", "pagerank",
+        "fuzzy_search", "wildcard_search", "suggest_terms",
+        "bm25f_topk", "grouped_rank", "more_like_this",
+        "bigram_pmi", "text_redact",
     ]
     # index-build for the driver tables happens inside the first query;
     # time it separately so per-query numbers reflect query cost.

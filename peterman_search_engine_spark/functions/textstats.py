@@ -92,6 +92,23 @@ def lang_id(text: Column) -> Column:
     )
 
 
+# PII scrubbing (training-data pipelines redact contact info before
+# anything downstream sees the text). Patterns are deliberately
+# RE2-compatible (no lookaround/backrefs) so the exact same regex runs
+# in Spark's Java engine and the DuckDB oracle's RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and NNN-NNN-NNNN phone numbers with
+    typed placeholder tags. Pure regexp_replace expressions — JVM
+    codegen, no Python; at 100 TB this is a map-only pass fused into
+    whatever scan feeds it."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def fingerprint_components(text: Column):
     """Position-weighted document fingerprint over analyzed tokens
     (stop words removed, unstemmed — the A1 tokenizer):

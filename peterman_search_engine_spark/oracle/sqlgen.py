@@ -680,6 +680,184 @@ SELECT doc_id,
 FROM toks GROUP BY doc_id ORDER BY doc_id"""
 
 
+# -- round-3 query/analysis operators -----------------------------------------
+
+def sql_fuzzy(term: str, max_dist: int = 1) -> str:
+    """Mirrors operators.query.search_fuzzy: docs containing any
+    dictionary term within Levenshtein distance of the lowercased
+    (unstemmed) query term."""
+    q = term.strip().lower().replace("'", "''")
+    return f"""WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks
+WHERE levenshtein(tok, '{q}') <= {max_dist}
+ORDER BY doc_id"""
+
+
+def sql_wildcard(pattern: str) -> str:
+    """Mirrors operators.query.search_wildcard (* -> any run)."""
+    pat = pattern.strip().lower().replace("'", "''").replace("*", "%")
+    return f"""WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE tok LIKE '{pat}'
+ORDER BY doc_id"""
+
+
+def sql_suggest(prefix: str, k: int) -> str:
+    """Mirrors operators.query.suggest_terms: top-k dictionary terms
+    by (df desc, term asc) under a prefix."""
+    pfx = prefix.strip().lower().replace("'", "''")
+    return f"""WITH {TOKS_CTE},
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+SELECT tok AS term, df FROM df WHERE tok LIKE '{pfx}%'
+ORDER BY df DESC, term LIMIT {k}"""
+
+
+def sql_bm25f(
+    terms: list[str], k: int, *, head_len: int, w_head: float, w_body: float,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Mirrors operators.ranking.bm25f_scores: weighted-field BM25
+    with head = analyzed positions < head_len. Weighted tf counts each
+    head occurrence w_head and body occurrence w_body; the length
+    normalizer uses the weighted doc length and its corpus mean; idf/df
+    are standard document-level stats."""
+    return f"""WITH {TOKS_CTE}, {DL_CTE},
+q(term, qtf) AS (VALUES {_qtf_values(terms)}),
+n AS (SELECT count(*) AS n FROM documents),
+wdl AS (
+  SELECT doc_id,
+         {w_head} * least(len, {head_len})
+         + {w_body} * greatest(len - {head_len}, 0) AS wdl
+  FROM dl
+),
+aw AS (SELECT avg(wdl) AS avgwdl FROM wdl),
+tf AS (
+  SELECT doc_id, tok,
+         sum(CASE WHEN pos < {head_len} THEN {w_head} ELSE {w_body} END) AS wtf
+  FROM toks WHERE tok IN (SELECT term FROM q)
+  GROUP BY 1, 2
+),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.wtf * ({k1} + 1.0)
+             / (tf.wtf + {k1} * (1.0 - {b} + {b} * wdl.wdl / aw.avgwdl))) AS score
+  FROM tf JOIN q ON tf.tok = q.term
+          JOIN df ON df.tok = tf.tok
+          JOIN wdl ON wdl.doc_id = tf.doc_id, n, aw
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
+def sql_grouped(
+    terms: list[str], group_col: str, k: int,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Mirrors operators.ranking.grouped_topk: BM25-score member docs,
+    rank groups by sum of member scores (count carried)."""
+    return f"""WITH {TOKS_CTE}, {DL_CTE},
+q(term, qtf) AS (VALUES {_qtf_values(terms)}),
+n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / n.avglen))) AS score
+  FROM tf JOIN q ON tf.tok = q.term
+          JOIN df ON df.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id, n
+  GROUP BY tf.doc_id
+),
+grouped AS (
+  SELECT d.{group_col} AS grp, count(*) AS n_docs, sum(s.score) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT grp, n_docs, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM grouped ORDER BY score_e6 DESC, grp LIMIT {k}"""
+
+
+def sql_more_like_this(
+    doc_id: int, max_terms: int, k: int, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Mirrors operators.ranking.more_like_this: the example doc's
+    top-m terms by e6-rounded tf*idf (tie-break term asc), BM25 with
+    qtf=1 per selected term, example excluded."""
+    return f"""WITH {TOKS_CTE}, {DL_CTE},
+n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+dtf AS (SELECT tok, count(*) AS tf FROM toks WHERE doc_id = {doc_id} GROUP BY 1),
+sel AS (
+  SELECT dtf.tok FROM dtf JOIN df ON df.tok = dtf.tok, n
+  ORDER BY CAST(ROUND(dtf.tf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                      * 1000000) AS BIGINT) DESC, dtf.tok
+  LIMIT {max_terms}
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / n.avglen))) AS score
+  FROM tf JOIN sel ON tf.tok = sel.tok
+          JOIN df ON df.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id, n
+  WHERE tf.doc_id <> {doc_id}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
+def sql_bigram_pmi(min_count: int, k: int) -> str:
+    """Mirrors operators.collocations.bigram_pmi: adjacent analyzed
+    bigrams, pmi = ln((n/T2) / ((c1/T1)(c2/T1))), n >= min_count."""
+    return f"""WITH {TOKS_CTE},
+pairs AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+uni AS (SELECT tok AS w, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM toks) AS t1,
+               (SELECT count(*) FROM pairs) AS t2),
+big AS (
+  SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {min_count}
+),
+scored AS (
+  SELECT w1, w2, n,
+         ln((n / (1.0 * tot.t2))
+            / ((u1.c / (1.0 * tot.t1)) * (u2.c / (1.0 * tot.t1)))) AS pmi
+  FROM big JOIN uni u1 ON u1.w = big.w1
+           JOIN uni u2 ON u2.w = big.w2, tot
+)
+SELECT w1, w2, n, CAST(ROUND(pmi * 1000000) AS BIGINT) AS pmi_e6
+FROM scored ORDER BY pmi_e6 DESC, w1, w2 LIMIT {k}"""
+
+
+def sql_redact(email_re: str, phone_re: str) -> str:
+    """Mirrors functions.textstats.redact_pii over doc_id-augmented
+    text (a deterministic synthetic email+phone suffix, so redaction
+    is exercised on every row even in a contact-free corpus)."""
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-867-5309' AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(t, '{email_re}', '<EMAIL>', 'g'),
+                        '{phone_re}', '<PHONE>', 'g') AS t
+  FROM aug
+)
+SELECT doc_id, {_md5l('t')} AS red_hash FROM red ORDER BY doc_id"""
+
+
 def sql_multimodal() -> str:
     return """SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
