@@ -131,13 +131,23 @@ def main() -> None:
         "and_search", "or_search", "phrase_search",
     ]
     samples: list[float] = []
+    per_query: dict[str, list[float]] = {n: [] for n in topk_queries}
     for _ in range(4):
         for name in topk_queries:
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            samples.append(dt)
+            per_query[name].append(dt)
     samples.sort()
     p95 = round(samples[min(len(samples) - 1, int(0.95 * len(samples)))], 4)
+    # interleaved per-query medians: the one-shot suite numbers above
+    # are single observations through documented host-interference
+    # phases — regressions are only believable from these medians
+    # (BENCH/BASELINE.md measurement protocol)
+    topk_median = {
+        n: round(sorted(v)[len(v) // 2], 4) for n, v in per_query.items()
+    }
 
     # --- ANN quality: recall@k of the bucketed/IVF paths vs the exact
     # brute-force cosine top-k (same query vector, same exclusions)
@@ -201,6 +211,7 @@ def main() -> None:
                 "turns_indexed": n_turns,
                 "turns_per_sec": turns_per_sec,
                 "p95_query_sec": p95,
+                "topk_median_sec": topk_median,
                 "ann_recall_at_10": ann_recall,
                 "wand_regime": wand_regime,
                 "cpus": int(cpus) if cpus.isdigit() else cpus,
