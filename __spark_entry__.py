@@ -771,6 +771,17 @@ def q_bigram_pmi(spark, sf):
     )
 
 
+BOOL_QUERY = '(spark AND merge) OR ("fast table" AND NOT stream) OR wind*'
+
+
+def q_boolean(spark, sf):
+    """Boolean query-string surface: one parse rendered as both the
+    Spark set-algebra plan and the SQL oracle."""
+    from peterman_search_engine_spark.operators.boolparser import search_boolean
+
+    return search_boolean(_index(spark, sf), BOOL_QUERY)
+
+
 def q_redact(spark, sf):
     """PII scrub of doc_id-augmented text; portable md5 of the result."""
     from peterman_search_engine_spark.functions.textstats import md5_long, redact_pii
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "bigram_pmi": q_bigram_pmi,
         "text_redact": q_redact,
+        "boolean_query": q_boolean,
     }
 
 
@@ -952,4 +964,5 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": S.sql_more_like_this(MLT_DOC, MLT_TERMS, TOP_K),
         "bigram_pmi": S.sql_bigram_pmi(PMI_MIN_COUNT, PMI_K),
         "text_redact": S.sql_redact(TS.EMAIL_RE, TS.PHONE_RE),
+        "boolean_query": S.sql_boolean(BOOL_QUERY),
     }

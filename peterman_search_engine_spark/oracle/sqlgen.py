@@ -1003,3 +1003,12 @@ def sql_multimodal_frames(every_n_bytes: int = 64) -> str:
   CAST(CEIL(strlen(text) / {float(every_n_bytes)}) AS BIGINT) AS n_frames,
   CAST(strlen(text) AS BIGINT) AS total_bytes
 FROM documents WHERE strlen(text) > 0 ORDER BY doc_id"""
+
+
+def sql_boolean(query: str) -> str:
+    """Mirrors operators.boolparser.search_boolean: the SAME parse of
+    the query string, rendered as INTERSECT/UNION/EXCEPT set algebra
+    over the shared toks CTE."""
+    from ..operators.boolparser import boolean_oracle_sql
+
+    return boolean_oracle_sql(query, TOKS_CTE)
