@@ -93,6 +93,38 @@ def main() -> None:
         ["StartsWith"],
     ))
 
+    from peterman_search_engine_spark.operators.boolparser import search_boolean
+    from peterman_search_engine_spark.operators.ranking import (
+        grouped_topk,
+        search_bm25f,
+    )
+
+    bm25f = search_bm25f(idx, ["spark", "merge"], 10)
+    sections.append((
+        "BM25F fielded top-k — the plain-BM25 plan plus one JVM array "
+        "filter over the stored position lists (no re-tokenization, "
+        "no Python); same pushdown/broadcast/top-k markers",
+        formatted(bm25f),
+        ["PushedFilters", "BroadcastHashJoin", "TakeOrderedAndProject"],
+    ))
+
+    grouped = grouped_topk(idx, ["vector", "stream"], docs, "source", 5)
+    sections.append((
+        "Grouped (conversation-rollup) retrieval — scored docs join "
+        "the (doc_id, group) projection, hash aggregate on group, "
+        "bounded top-k",
+        formatted(grouped),
+        ["HashAggregate", "TakeOrderedAndProject"],
+    ))
+
+    boolq = search_boolean(idx, "(spark AND merge) OR (vector AND NOT stream)")
+    sections.append((
+        "Boolean query string — set algebra as semi/anti hash joins; "
+        "every leaf keeps the term-IN parquet pushdown",
+        formatted(boolq),
+        ["LeftSemi", "LeftAnti", "PushedFilters"],
+    ))
+
     doc_stats = corpus.select("doc_id", F.size(tokens_expr("text")).alias("doc_len"))
     sections.append((
         "JVM doc-length pass — single columnar scan + projection; the "
