@@ -797,6 +797,27 @@ def q_redact(spark, sf):
     )
 
 
+BATCH_QUERIES = {
+    0: ["spark", "merge"],
+    1: ["vector"],
+    2: ["stream", "window", "join"],
+    3: ["fast", "table"],
+    4: ["customer", "order"],
+    5: ["query", "data", "data"],
+}
+BATCH_K = 5
+
+
+def q_batch_bm25(spark, sf):
+    """A whole query log ranked in ONE plan: shared posting scan,
+    broadcast fan-out across queries, per-qid window top-k."""
+    from peterman_search_engine_spark.operators.batch import batch_bm25_topk
+
+    return batch_bm25_topk(
+        _index(spark, sf), BATCH_QUERIES, BATCH_K, rank_e6=True
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 on sf0.001; driver checks rows>0."""
     return q_bm25(spark, "/root/testdata/sf0.001")
@@ -863,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "text_redact": q_redact,
         "boolean_query": q_boolean,
+        "batch_bm25_topk": q_batch_bm25,
     }
 
 
@@ -965,4 +987,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": S.sql_bigram_pmi(PMI_MIN_COUNT, PMI_K),
         "text_redact": S.sql_redact(TS.EMAIL_RE, TS.PHONE_RE),
         "boolean_query": S.sql_boolean(BOOL_QUERY),
+        "batch_bm25_topk": S.sql_batch_bm25(BATCH_QUERIES, BATCH_K),
     }

@@ -149,6 +149,25 @@ def main() -> None:
         n: round(sorted(v)[len(v) // 2], 4) for n, v in per_query.items()
     }
 
+    # --- batch query throughput: a 500-query log ranked in ONE plan
+    # (shared posting scan + broadcast fan-out + per-qid window top-k)
+    # vs ~1 s/query for the one-at-a-time path — the amortization
+    # story a single-node engine cannot tell.
+    def _batch_log():
+        import itertools
+
+        from peterman_search_engine_spark.operators.batch import batch_bm25_topk
+
+        idx = entry._index(spark, sf_dir)
+        vocab = sorted(r["term"] for r in idx.term_stats.select("term").collect())
+        pairs = list(itertools.product(vocab, vocab))
+        queries = {i: list(p) for i, p in enumerate(pairs[:500])}
+        batch_bm25_topk(idx, queries, 10).count()
+        return len(queries)
+
+    n_batch = timed("batch_bm25_500", _batch_log)
+    batch_qps = round(n_batch / timings["batch_bm25_500"], 1)
+
     # --- ANN quality: recall@k of the bucketed/IVF paths vs the exact
     # brute-force cosine top-k (same query vector, same exclusions)
     exact_ids = {r.vec_id for r in qmap["ann_cosine_topk"](spark, sf_dir).collect()}
@@ -212,6 +231,7 @@ def main() -> None:
                 "turns_per_sec": turns_per_sec,
                 "p95_query_sec": p95,
                 "topk_median_sec": topk_median,
+                "batch_query_qps": batch_qps,
                 "ann_recall_at_10": ann_recall,
                 "wand_regime": wand_regime,
                 "cpus": int(cpus) if cpus.isdigit() else cpus,

@@ -1012,3 +1012,43 @@ def sql_boolean(query: str) -> str:
     from ..operators.boolparser import boolean_oracle_sql
 
     return boolean_oracle_sql(query, TOKS_CTE)
+
+
+def sql_batch_bm25(
+    queries: dict[int, list[str]], k: int, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Mirrors operators.batch.batch_bm25_topk(rank_e6=True): a whole
+    query log scored in one pass, per-query top-k on the e6-rounded
+    score with doc_id tiebreak."""
+    vals = []
+    for qid, terms in sorted(queries.items()):
+        qtf: dict[str, int] = {}
+        for t in terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        vals += [f"({int(qid)}, '{t}', {float(n)})" for t, n in sorted(qtf.items())]
+    return f"""WITH {TOKS_CTE}, {DL_CTE},
+q(qid, term, qtf) AS (VALUES {', '.join(vals)}),
+n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / n.avglen))) AS score
+  FROM tf JOIN q ON tf.tok = q.term
+          JOIN df ON df.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id, n
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(ROUND(score * 1000000) AS BIGINT) DESC, doc_id
+         ) AS rn
+  FROM scored
+)
+SELECT qid, doc_id, score_e6 FROM ranked WHERE rn <= {k}
+ORDER BY qid, score_e6 DESC, doc_id"""
