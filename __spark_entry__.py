@@ -818,6 +818,20 @@ def q_batch_bm25(spark, sf):
     )
 
 
+SESSION_GAP_MIN = 360
+
+
+def q_sessionize(spark, sf):
+    """Custom stateful streaming: gap-timeout sessionization via
+    applyInPandasWithState, sessions spanning micro-batches; oracle is
+    the relational gaps-and-islands rewrite."""
+    from peterman_search_engine_spark.streaming.sessionize import sessionize_events
+
+    return sessionize_events(
+        spark, f"{sf}/events.parquet", gap_minutes=SESSION_GAP_MIN, n_batches=2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 on sf0.001; driver checks rows>0."""
     return q_bm25(spark, "/root/testdata/sf0.001")
@@ -885,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_redact,
         "boolean_query": q_boolean,
         "batch_bm25_topk": q_batch_bm25,
+        "streaming_sessionize": q_sessionize,
     }
 
 
@@ -988,4 +1003,5 @@ def oracle_sql() -> dict[str, str]:
         "text_redact": S.sql_redact(TS.EMAIL_RE, TS.PHONE_RE),
         "boolean_query": S.sql_boolean(BOOL_QUERY),
         "batch_bm25_topk": S.sql_batch_bm25(BATCH_QUERIES, BATCH_K),
+        "streaming_sessionize": S.sql_sessionize(SESSION_GAP_MIN),
     }

@@ -99,7 +99,7 @@ def main() -> None:
         "streaming_bm25_topk", "pagerank",
         "fuzzy_search", "wildcard_search", "suggest_terms",
         "bm25f_topk", "grouped_rank", "more_like_this",
-        "bigram_pmi", "text_redact", "boolean_query",
+        "bigram_pmi", "text_redact", "boolean_query", "streaming_sessionize",
     ]
     # index-build for the driver tables happens inside the first query;
     # time it separately so per-query numbers reflect query cost.

@@ -1052,3 +1052,29 @@ ranked AS (
 )
 SELECT qid, doc_id, score_e6 FROM ranked WHERE rn <= {k}
 ORDER BY qid, score_e6 DESC, doc_id"""
+
+
+def sql_sessionize(gap_minutes: int) -> str:
+    """Mirrors streaming.sessionize.sessionize_events: gap-timeout
+    sessions as the standard gaps-and-islands rewrite over the same
+    epoch-microsecond integers the stateful operator folds."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+),
+m AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us, count(*) AS n_events
+FROM g GROUP BY user_id, grp
+ORDER BY user_id, session_start_us"""
