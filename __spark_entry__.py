@@ -837,6 +837,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25(spark, "/root/testdata/sf0.001")
 
 
+REGEX_PAT = "(merg|wind)[a-z]*"
+
+
+def q_lm_dirichlet(spark, sf):
+    """LM-Dirichlet query-likelihood ranking (ranking.py) — the third
+    ranking family beside TF-IDF (IIM:614-650) and BM25."""
+    return _ranked_e6(RK.lm_dirichlet_scores(_index(spark, sf), BM25_TERMS), TOP_K)
+
+
+def q_hybrid_rrf(spark, sf):
+    """Hybrid lexical+vector retrieval: RRF fusion of BM25 top-50 and
+    cosine top-50 (the embeddings table is keyed by the same id space
+    in this corpus: vec_id ≡ doc key)."""
+    idx = _index(spark, sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _query_vec(spark, sf)
+    return RK.hybrid_rrf_topk(
+        idx, emb, BM25_TERMS, qv, k=TOP_K, n_each=50, exclude_ids=[0]
+    )
+
+
+def q_regex(spark, sf):
+    """Dictionary regex search (Lucene RegexpQuery shape)."""
+    return Q.search_regex(_index(spark, sf), REGEX_PAT, TOP_K)
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition quality signals (textstats.py)."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        _e6(TS.dup_word_fraction(F.col("text"))).alias("dup_word_e6"),
+        _e6(TS.dup_bigram_fraction(F.col("text"))).alias("dup_bigram_e6"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "and_search": q_and,
@@ -900,6 +936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query": q_boolean,
         "batch_bm25_topk": q_batch_bm25,
         "streaming_sessionize": q_sessionize,
+        "lm_dirichlet_topk": q_lm_dirichlet,
+        "hybrid_rrf_topk": q_hybrid_rrf,
+        "regex_search": q_regex,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1004,4 +1044,8 @@ def oracle_sql() -> dict[str, str]:
         "boolean_query": S.sql_boolean(BOOL_QUERY),
         "batch_bm25_topk": S.sql_batch_bm25(BATCH_QUERIES, BATCH_K),
         "streaming_sessionize": S.sql_sessionize(SESSION_GAP_MIN),
+        "lm_dirichlet_topk": S.sql_lm_dirichlet(BM25_TERMS, TOP_K),
+        "hybrid_rrf_topk": S.sql_hybrid_rrf(BM25_TERMS, TOP_K),
+        "regex_search": S.sql_regex(REGEX_PAT, TOP_K),
+        "text_repetition": S.sql_repetition(),
     }

@@ -3,7 +3,9 @@
     spark-submit --py-files pse.zip jobs/query.py \
         --index /tmp/pse_index --mode bm25 --k 10 spark merge
 
-Modes: and, or, phrase, tfidf, bm25, wand (block-max-pruned BM25).
+Modes: and, or, phrase, tfidf, bm25, wand (block-max-pruned BM25),
+bm25f (fielded), fuzzy, wildcard, suggest, bool (full query string —
+quote it: --mode bool '(spark AND merge) OR wind*').
 Prints one JSON line with the result rows and, for wand, the pruning
 stats.
 """
@@ -22,7 +24,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--mode", default="bm25",
-                    choices=["and", "or", "phrase", "tfidf", "bm25", "wand"])
+                    choices=["and", "or", "phrase", "tfidf", "bm25", "wand",
+                             "bm25f", "fuzzy", "wildcard", "suggest", "bool"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--master", default=None)
     ap.add_argument("terms", nargs="+")
@@ -48,6 +51,20 @@ def main() -> None:
         df = Q.search_tfidf(idx, args.terms, args.k)
     elif args.mode == "bm25":
         df = Q.search_bm25(idx, args.terms, args.k)
+    elif args.mode == "bm25f":
+        from peterman_search_engine_spark.operators.ranking import search_bm25f
+
+        df = search_bm25f(idx, args.terms, args.k)
+    elif args.mode == "fuzzy":
+        df = Q.search_fuzzy(idx, args.terms[0])
+    elif args.mode == "wildcard":
+        df = Q.search_wildcard(idx, args.terms[0])
+    elif args.mode == "suggest":
+        df = Q.suggest_terms(idx, args.terms[0], args.k)
+    elif args.mode == "bool":
+        from peterman_search_engine_spark.operators.boolparser import search_boolean
+
+        df = search_boolean(idx, " ".join(args.terms))
     else:
         df, stats = bm25_topk_wand(idx, args.terms, args.k, return_stats=True)
 

@@ -121,3 +121,52 @@ def fingerprint_components(text: Column):
 
 def fingerprint_term(pos: Column, term: Column) -> Column:
     return (pos + 1).cast("long") * (md5_long(term) % F.lit(FP_MOD))
+
+
+# -- repetition-based quality (Gopher-style, Rae et al. 2021 §A1.1) -----------
+
+WS_SPLIT_RE = r"\s+"
+
+
+def _ws_words(text: Column) -> Column:
+    """Whitespace word list of lowercased text, empties removed (the
+    repetition filters run on surface words, not the analyzer — a doc
+    full of repeated stop words is exactly what they must catch)."""
+    return F.filter(
+        F.split(F.lower(text), WS_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier
+    word: 1 - distinct/total. 0.0 for empty docs. Pure array
+    expressions — codegen, no explode, no shuffle: at 100 TB this is a
+    map-only scan column like the other quality signals."""
+    w = _ws_words(text)
+    n = F.size(w)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_fraction(text: Column) -> Column:
+    """Fraction of adjacent word-bigram occurrences that are repeats
+    (the strongest of the Gopher duplicate-n-gram family for catching
+    boilerplate loops). 0.0 for docs with < 2 words. sequence() is
+    guarded — it counts DOWN when hi < lo."""
+    w = _ws_words(text)
+    n = F.size(w)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bg)
+    return F.when(
+        nb > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bg)).cast("double") / nb.cast("double"),
+    ).otherwise(F.lit(0.0))

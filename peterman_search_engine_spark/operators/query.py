@@ -200,6 +200,41 @@ def search_wildcard(index: InvertedIndex, pattern: str) -> DataFrame:
     return _docs_for_terms(index, terms)
 
 
+def search_regex(
+    index: InvertedIndex, pattern: str, top_k: int | None = None
+) -> DataFrame:
+    """Regex search (beyond-reference, Lucene ``RegexpQuery`` shape):
+    docs containing ANY dictionary term matching ``pattern`` (anchored
+    whole-term match, like Lucene), ranked by total matched tf with
+    doc_id tiebreak. The pattern is applied to stored (lowercased)
+    dictionary terms and is NOT stemmed; callers on stemmed indexes
+    match stems (same surface-form caveat as prefix/wildcard search).
+
+    Plan: one postings scan with the regex as a post-scan filter on the
+    term column (a regex can't parquet-push, but column pruning keeps
+    the scan at (term, doc_ids, tfs)), explode, hash aggregate, top-k.
+    No dictionary round-trip to the driver — unlike wildcard search the
+    matched-term set never leaves the executors, so an adversarial
+    pattern matching half the dictionary still runs as one distributed
+    plan. Returns (doc_id, n_terms, tf_sum).
+    """
+    pat = f"^(?:{pattern})$"  # whole-term semantics
+    p = index.postings.filter(F.col("term").rlike(pat))
+    hits = p.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "tfs")).alias("_z")
+    ).select(
+        "term", F.col("_z.doc_ids").alias("doc_id"), F.col("_z.tfs").alias("tf")
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("tf").cast("long").alias("tf_sum"),
+    )
+    out = _live(index, agg).orderBy(
+        F.desc("tf_sum"), F.desc("n_terms"), F.asc("doc_id")
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
 def suggest_terms(index: InvertedIndex, prefix: str, top_k: int = 10) -> DataFrame:
     """Autocomplete (beyond-reference): the top-k dictionary terms
     starting with the prefix, ranked by document frequency (df desc,

@@ -200,3 +200,180 @@ def more_like_this(
         return spark.createDataFrame([], "doc_id long, score double")
     scored = bm25_scores(index, terms).filter(F.col("doc_id") != doc_id)
     return top_k_df(scored, top_k)
+
+
+# -- LM-Dirichlet (query-likelihood language model) ---------------------------
+
+MU = 1000.0
+
+
+def lm_dirichlet_scores(
+    index: InvertedIndex, terms: list[str], *, mu: float = MU
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the third classic ranking family next to
+    TF-IDF (IIM:614-650) and BM25, over the same stored statistics:
+
+        score(q, d) = sum_t qtf_t * ln((tf_td + mu*P(t|C)) / (|d| + mu))
+
+    with P(t|C) = cf_t / |C| from the index's global term_stats (cf =
+    collection frequency) and |C| = total analyzed tokens. Evaluated in
+    the shuffle-free decomposition that needs postings rows ONLY for
+    matched (term, doc) pairs (unmatched query terms contribute through
+    the closed form):
+
+        score = sum_matched qtf*ln(1 + tf/(mu*P)) + K - Q*ln(|d| + mu)
+        K = sum_t qtf*ln(mu*P(t|C)),  Q = sum_t qtf
+
+    Query terms absent from the collection (cf = 0) are dropped — they
+    shift every doc's score by the same -inf and carry no signal.
+
+    Plan shape is identical to :func:`..query.bm25_scores`: postings
+    IN-scan -> explode -> broadcast join on the O(|q|) term table ->
+    hash aggregate -> join doc_stats. Driver state: the O(|q|)
+    (term, cf) rows and one scalar (|C|). Returns (doc_id, score).
+    """
+    toks = _analyzed(index, terms)
+    spark = index.postings.sparkSession
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qtf: dict[str, int] = {}
+    for t in toks:
+        qtf[t] = qtf.get(t, 0) + 1
+    total_c = index.doc_stats.agg(F.sum("doc_len")).collect()[0][0]  # |C|, one scalar
+    stats = {
+        r["term"]: r["cf"]
+        for r in index.term_stats.filter(
+            F.col("term").isin(list(qtf))
+        ).collect()  # O(|q|) planner state
+    }
+    import math
+
+    live = {t: n for t, n in qtf.items() if stats.get(t, 0) > 0}
+    if not live:
+        return spark.createDataFrame([], "doc_id long, score double")
+    k_const = sum(
+        n * math.log(mu * stats[t] / total_c) for t, n in live.items()
+    )
+    q_total = float(sum(live.values()))
+    qdf = spark.createDataFrame(
+        [(t, float(n), float(stats[t]) / total_c) for t, n in sorted(live.items())],
+        "term string, qtf double, pc double",
+    )
+    p = _postings_for(index, list(live))
+    hits = p.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "tfs")).alias("_z")
+    ).select(
+        "term", F.col("_z.doc_ids").alias("doc_id"), F.col("_z.tfs").alias("tf")
+    )
+    contrib = F.col("qtf") * F.log(
+        F.lit(1.0) + F.col("tf") / (F.lit(mu) * F.col("pc"))
+    )
+    scored = (
+        hits.join(F.broadcast(qdf), "term")
+        .withColumn("_c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("_m"))
+        .join(index.doc_stats, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("_m")
+                + F.lit(k_const)
+                - F.lit(q_total) * F.log(F.col("doc_len") + F.lit(mu))
+            ).alias("score"),
+        )
+    )
+    return _live(index, scored)
+
+
+def search_lm_dirichlet(
+    index: InvertedIndex, terms: list[str], top_k: int | None, *, mu: float = MU
+) -> DataFrame:
+    return top_k_df(lm_dirichlet_scores(index, terms, mu=mu), top_k)
+
+
+# -- Hybrid lexical + vector retrieval (reciprocal-rank fusion) ---------------
+
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    index: InvertedIndex,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_each: int = 50,
+    rrf_k: int = RRF_K,
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Hybrid search: fuse a BM25 ranking over the inverted index with
+    a cosine ranking over an embedding column of the SAME document key
+    space, by reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR
+    2009):
+
+        rrf(d) = sum_lists 1/(rrf_k + rank_list(d))
+
+    summed over the lists that contain d (top ``n_each`` from each
+    side). Ranks are assigned on ROUND(score*1e6) with doc_id tiebreak,
+    so rank assignment — and therefore the fused score — is exact
+    integer arithmetic, deterministic across engines.
+
+    Scale: each side is its own distributed top-N
+    (TakeOrderedAndProject); the fusion joins two <=n_each-row frames —
+    driver-sized, broadcast by AQE. Returns (doc_id, rrf_e6).
+    """
+    from .similarity import cosine
+
+    def _rank(scored: DataFrame, id_col: str, score_col: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        e6 = F.round(F.col(score_col) * 1_000_000).cast("long")
+        top = (
+            scored.withColumn("_e6", e6)
+            .select(F.col(id_col).alias("doc_id"), "_e6")
+            .orderBy(F.desc("_e6"), F.asc("doc_id"))
+            .limit(n_each)
+        )
+        # window over <= n_each rows (already reduced) — not a scale risk
+        w = Window.orderBy(F.desc("_e6"), F.asc("doc_id"))
+        return top.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    from .query import bm25_scores
+
+    lex = _rank(bm25_scores(index, terms), "doc_id", "score")
+    emb = embeddings
+    if exclude_ids:
+        emb = emb.filter(~F.col("vec_id").isin(exclude_ids))
+    vec_scored = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        cosine(
+            F.col("embedding"), F.array(*[F.lit(float(v)) for v in query_vec])
+        ).alias("cos"),
+    )
+    vec = _rank(vec_scored, "vec_id", "cos")
+    fused = (
+        lex.withColumnRenamed("rank", "lex_rank")
+        .join(vec.withColumnRenamed("rank", "vec_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vec_rank")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn("rrf_e6", F.round(F.col("rrf") * 1_000_000).cast("long"))
+        .select("doc_id", "rrf_e6")
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(k)
+    )

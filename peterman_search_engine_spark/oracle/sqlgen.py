@@ -1078,3 +1078,106 @@ SELECT user_id, min(ts_us) AS session_start_us,
        max(ts_us) AS session_end_us, count(*) AS n_events
 FROM g GROUP BY user_id, grp
 ORDER BY user_id, session_start_us"""
+
+
+def sql_lm_dirichlet(terms: list[str], k: int, mu: float = 1000.0) -> str:
+    """LM-Dirichlet oracle in the SAME shuffle-free decomposition as
+    ranking.lm_dirichlet_scores (matched-postings sum + closed form);
+    op order inside every float expression mirrors the Spark/Python
+    side so doubles agree bit-for-bit before the e6 round."""
+    return f"""WITH {TOKS_CTE}, {DL_CTE},
+q(term, qtf) AS (VALUES {_qtf_values(terms)}),
+c AS (SELECT count(*) AS total FROM toks),
+cfs AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1),
+qs AS (SELECT q.term, q.qtf, cfs.cf FROM q JOIN cfs ON cfs.tok = q.term),
+kq AS (
+  SELECT sum(qtf * ln({mu} * cf / c.total)) AS k_const,
+         sum(qtf) AS q_total
+  FROM qs, c
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+m AS (
+  SELECT tf.doc_id,
+         sum(qs.qtf * ln(1.0 + tf.tf / ({mu} * (qs.cf * 1.0 / c.total)))) AS msum
+  FROM tf JOIN qs ON tf.tok = qs.term, c
+  GROUP BY tf.doc_id
+)
+SELECT m.doc_id,
+       CAST(ROUND((msum + kq.k_const - kq.q_total * ln(dl.len + {mu})) * 1000000)
+            AS BIGINT) AS score_e6
+FROM m JOIN dl USING (doc_id), kq
+ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
+def sql_hybrid_rrf(
+    terms: list[str], k: int, query_id: int = 0, n_each: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    """Reciprocal-rank fusion of the (already driver-verified) BM25 and
+    cosine oracles: ranks assigned by row_number over the rounded
+    component scores with id tiebreak — exact integer arithmetic end to
+    end, so the fusion inherits each component's determinism."""
+    lex_inner = sql_bm25(terms, n_each)
+    vec_inner = sql_ann_cosine(n_each, query_id)
+    return f"""WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+  FROM ({lex_inner})
+),
+vec AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_e6 DESC, vec_id) AS r
+  FROM ({vec_inner})
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       CAST(ROUND((COALESCE(1.0 / ({rrf_k} + l.r), 0.0)
+                 + COALESCE(1.0 / ({rrf_k} + v.r), 0.0)) * 1000000)
+            AS BIGINT) AS rrf_e6
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf_e6 DESC, doc_id LIMIT {k}"""
+
+
+def sql_regex(pattern: str, k: int) -> str:
+    """Whole-term regex over the dictionary (query.search_regex):
+    per-doc matched-term count + total tf."""
+    return f"""WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE regexp_matches(tok, '^(?:{pattern})$')
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(tf) AS BIGINT) AS tf_sum
+FROM tf GROUP BY doc_id
+ORDER BY tf_sum DESC, n_terms DESC, doc_id LIMIT {k}"""
+
+
+def sql_repetition() -> str:
+    """Gopher-style duplicate word / adjacent-bigram fractions
+    (textstats.dup_word_fraction / dup_bigram_fraction): whitespace
+    surface words of lower(text), empties removed, adjacency over the
+    FILTERED word sequence."""
+    return r"""WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS ord
+  FROM documents
+),
+wf AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+  FROM w WHERE tok <> ''
+),
+ws AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd FROM wf GROUP BY 1),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS big, a.rn
+  FROM wf a JOIN wf b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+),
+bs AS (SELECT doc_id, count(*) AS n, count(DISTINCT big) AS nd FROM bg GROUP BY 1)
+SELECT d.doc_id,
+       CAST(ROUND(COALESCE((1.0 - ws.nd * 1.0 / ws.n), 0.0) * 1000000) AS BIGINT)
+         AS dup_word_e6,
+       CAST(ROUND(COALESCE((1.0 - bs.nd * 1.0 / bs.n), 0.0) * 1000000) AS BIGINT)
+         AS dup_bigram_e6
+FROM documents d
+LEFT JOIN ws ON ws.doc_id = d.doc_id
+LEFT JOIN bs ON bs.doc_id = d.doc_id
+ORDER BY d.doc_id"""
