@@ -100,6 +100,8 @@ def main() -> None:
         "fuzzy_search", "wildcard_search", "suggest_terms",
         "bm25f_topk", "grouped_rank", "more_like_this",
         "bigram_pmi", "text_redact", "boolean_query", "streaming_sessionize",
+        "lm_dirichlet_topk", "hybrid_rrf_topk", "regex_search",
+        "text_repetition",
     ]
     # index-build for the driver tables happens inside the first query;
     # time it separately so per-query numbers reflect query cost.

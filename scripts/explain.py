@@ -125,6 +125,30 @@ def main() -> None:
         ["LeftSemi", "LeftAnti", "PushedFilters"],
     ))
 
+    from peterman_search_engine_spark.operators.ranking import (
+        search_lm_dirichlet,
+    )
+
+    lm = search_lm_dirichlet(idx, ["spark", "merge"], 10)
+    sections.append((
+        "LM-Dirichlet top-k — identical shape to the BM25 plan "
+        "(postings IN-scan, broadcast O(|q|) term table, hash "
+        "aggregate, bounded top-k); the unmatched-term mass is a "
+        "closed-form column, not extra rows",
+        formatted(lm),
+        ["PushedFilters", "BroadcastHashJoin", "TakeOrderedAndProject"],
+    ))
+
+    rx = Q.search_regex(idx, "(merg|wind)[a-z]*", 10)
+    sections.append((
+        "Regex dictionary search — ONE distributed postings scan with "
+        "the anchored regex as a post-scan filter (regex can't "
+        "parquet-push; column pruning keeps the scan narrow), no "
+        "driver round-trip for the matched-term set",
+        formatted(rx),
+        ["RLIKE", "HashAggregate", "TakeOrderedAndProject"],
+    ))
+
     doc_stats = corpus.select("doc_id", F.size(tokens_expr("text")).alias("doc_len"))
     sections.append((
         "JVM doc-length pass — single columnar scan + projection; the "
