@@ -4,7 +4,8 @@
         --index /tmp/pse_index --mode bm25 --k 10 spark merge
 
 Modes: and, or, phrase, tfidf, bm25, wand (block-max-pruned BM25),
-bm25f (fielded), fuzzy, wildcard, suggest, bool (full query string —
+bm25f (fielded), fuzzy, wildcard, suggest, lm (LM-Dirichlet),
+regex (whole-term dictionary regex), bool (full query string —
 quote it: --mode bool '(spark AND merge) OR wind*').
 Prints one JSON line with the result rows and, for wand, the pruning
 stats.
@@ -25,7 +26,8 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--mode", default="bm25",
                     choices=["and", "or", "phrase", "tfidf", "bm25", "wand",
-                             "bm25f", "fuzzy", "wildcard", "suggest", "bool"])
+                             "bm25f", "fuzzy", "wildcard", "suggest", "bool",
+                             "lm", "regex"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--master", default=None)
     ap.add_argument("terms", nargs="+")
@@ -65,6 +67,14 @@ def main() -> None:
         from peterman_search_engine_spark.operators.boolparser import search_boolean
 
         df = search_boolean(idx, " ".join(args.terms))
+    elif args.mode == "lm":
+        from peterman_search_engine_spark.operators.ranking import (
+            search_lm_dirichlet,
+        )
+
+        df = search_lm_dirichlet(idx, args.terms, args.k)
+    elif args.mode == "regex":
+        df = Q.search_regex(idx, args.terms[0], args.k)
     else:
         df, stats = bm25_topk_wand(idx, args.terms, args.k, return_stats=True)
 
