@@ -863,6 +863,29 @@ def q_regex(spark, sf):
     return Q.search_regex(_index(spark, sf), REGEX_PAT, TOP_K)
 
 
+QUALITY_MIN_E6 = 500_000
+
+
+def q_curation_pipeline(spark, sf):
+    """End-to-end curation as ONE plan (curation.curation_pipeline):
+    exact dedup -> quality floor -> decontamination vs the doc_id%53
+    stand-in benchmark -> deterministic stratified sample."""
+    from peterman_search_engine_spark.operators import curation as CU
+
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return CU.curation_pipeline(
+        docs,
+        bench,
+        strata_col="source",
+        rates=SAMPLE_RATES,
+        quality_min_e6=QUALITY_MIN_E6,
+        min_overlap=DECONTAM_MIN_OVERLAP,
+    )
+
+
 def q_text_repetition(spark, sf):
     """Gopher-style repetition quality signals (textstats.py)."""
     d = _docs(spark, sf)
@@ -940,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf,
         "regex_search": q_regex,
         "text_repetition": q_text_repetition,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1048,4 +1072,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": S.sql_hybrid_rrf(BM25_TERMS, TOP_K),
         "regex_search": S.sql_regex(REGEX_PAT, TOP_K),
         "text_repetition": S.sql_repetition(),
+        "curation_pipeline": S.sql_curation_pipeline(
+            SAMPLE_RATES, 1.0, "pse-sample", QUALITY_MIN_E6,
+            DECONTAM_MOD, DECONTAM_MIN_OVERLAP,
+        ),
     }

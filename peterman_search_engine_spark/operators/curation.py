@@ -108,3 +108,61 @@ def decontaminate(
             ),
         )
     )
+
+
+def curation_pipeline(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    quality_min_e6: int = 500_000,
+    min_overlap: int = 2,
+    salt: str = "pse-sample",
+) -> DataFrame:
+    """The whole curation pass as ONE declarative plan — the chain a
+    training-data pipeline runs over every raw dump:
+
+        exact dedup  ->  quality floor  ->  decontamination  ->  sample
+
+    * dedup: keep the min-doc_id representative of each exact text
+      group (hash groupBy on md5(text) — one shuffle of (hash, id)
+      pairs, never text);
+    * quality: ROUND(quality_score*1e6) >= quality_min_e6 — the
+      threshold compares rounded integers so survivorship is
+      engine-exact, not float-boundary-dependent;
+    * decontamination: shingle overlap vs the benchmark set computed
+      ONLY for docs still alive (the broadcast-join cost scales with
+      survivors, and a doc's overlap count is doc-local so late
+      filtering changes nothing);
+    * sampling: the deterministic per-row hash filter.
+
+    Catalyst fuses the three per-doc predicates into the scan behind
+    ONE pass over text; the only shuffles are the dedup groupBy and
+    the decontamination overlap count. Requires ``corpus`` columns
+    (doc_id, text, ``strata_col``). Returns (doc_id, ``strata_col``)
+    survivors.
+    """
+    from ..functions.textstats import quality_score
+
+    keep = (
+        corpus.select(F.md5("text").alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    qual_ok = (
+        F.round(quality_score(F.col("text")) * 1_000_000).cast("long")
+        >= F.lit(int(quality_min_e6))
+    )
+    alive = corpus.join(keep, "doc_id", "left_semi").filter(qual_ok)
+    flags = decontaminate(alive, benchmark, min_overlap=min_overlap)
+    clean = alive.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return sample_stratified(
+        clean, strata_col, rates, default_rate=default_rate, salt=salt
+    ).select("doc_id", strata_col)

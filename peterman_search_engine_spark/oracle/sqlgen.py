@@ -1181,3 +1181,39 @@ FROM documents d
 LEFT JOIN ws ON ws.doc_id = d.doc_id
 LEFT JOIN bs ON bs.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def sql_curation_pipeline(
+    rates: dict[str, float], default_rate: float, salt: str,
+    quality_min_e6: int, bench_mod: int, min_overlap: int,
+) -> str:
+    """The full curation chain (curation.curation_pipeline): exact
+    dedup (min doc_id per md5(text)) -> quality floor on the ROUNDED
+    e6 score -> shingle decontamination -> deterministic stratified
+    sample. Every stage reuses the already-driver-verified fragment of
+    its standalone oracle."""
+    res = 1_000_000
+    cases = " ".join(
+        f"WHEN d.source = '{s}' THEN {int(r * res)}"
+        for s, r in sorted(rates.items())
+    )
+    h = _md5l(f"'{salt}:' || CAST(d.doc_id AS VARCHAR)")
+    return f"""WITH {TOKS_CTE}, {SHINGLE_CTE},
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE sh.doc_id % {bench_mod} = 0),
+ov AS (
+  SELECT sh.doc_id, count(*) AS n_overlap
+  FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN keep ON keep.doc_id = d.doc_id
+LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE CAST(ROUND(1000000 * (
+    0.4 * least({_NTOK} / 40.0, 1.0)
+    + 0.4 * (1.0 - abs({_SW_RATIO} - 0.4))
+    + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0))
+  )) AS BIGINT) >= {quality_min_e6}
+  AND COALESCE(ov.n_overlap, 0) < {min_overlap}
+  AND ({h}) % {res} < (CASE {cases} ELSE {int(default_rate * res)} END)
+ORDER BY d.doc_id"""

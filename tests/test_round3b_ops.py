@@ -153,3 +153,33 @@ def test_repetition_fractions(spark, text, dw, db):
     )
     assert row["w"] == pytest.approx(dw, abs=1e-12)
     assert row["b"] == pytest.approx(db, abs=1e-12)
+
+
+def test_curation_pipeline_composition(spark):
+    from peterman_search_engine_spark.operators.curation import curation_pipeline
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog by the green river", "a"),
+            (1, "the quick brown fox jumps over the lazy dog by the green river", "a"),
+            (2, "!!! ,,, ;;;", "a"),  # quality below the floor
+            (3, "alpha beta gamma delta epsilon zeta", "b"),  # contaminated
+            (4, "many people think spark clusters shuffle data quite efficiently", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta unrelated", "x")],
+        "doc_id long, text string, source string",
+    )
+    got = curation_pipeline(
+        corpus,
+        bench,
+        strata_col="source",
+        rates={},          # default_rate 1.0: sampling keeps everything
+        quality_min_e6=300_000,
+        min_overlap=2,
+    ).collect()
+    # doc 1 is an exact dup of 0 (min-id survives), 2 fails the quality
+    # floor, 3 shares >= 2 shingles with the benchmark
+    assert {(r["doc_id"], r["source"]) for r in got} == {(0, "a"), (4, "b")}
