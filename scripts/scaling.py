@@ -37,6 +37,17 @@ fingerprint of the build-path sources, and only rows from the CURRENT
 build code count — a regression can never hide behind a historical
 best from older code.
 
+Interference covariate: the host shows multi-minute phases where
+multi-core memory bandwidth halves (hypervisor-level contention; CPU
+steal reads 0). To classify rows WITHOUT looking at the job's own
+outcome, every leg is bracketed by a ~3 s 8-core memcpy canary
+(``canary_pre``/``canary_post``, aggregate MB/s). A row is
+"quiet-host" when min(pre, post) >= QUIET_FRAC x the best canary seen
+at the same build fingerprint — an outcome-independent exclusion, the
+same way one discards thermally-throttled benchmark runs by reading
+the thermometer, not the score. Stats report all-row best/median AND
+the quiet-host median.
+
 Usage::
 
     python scripts/scaling.py [--tier bench] [--replicate 10] [--runs 2]
@@ -86,6 +97,38 @@ def build_fingerprint() -> str:
         with open(os.path.join(REPO, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:16]
+
+
+QUIET_FRAC = 0.75  # min(pre,post) >= this x best canary => quiet-host row
+
+_CANARY_PROBE = (
+    "import numpy as np, time\n"
+    "a = np.zeros(1 << 28, dtype=np.uint8)\n"  # 256 MB src
+    "b = np.zeros(1 << 28, dtype=np.uint8)\n"
+    "t0 = time.perf_counter(); it = 0\n"
+    "while time.perf_counter() - t0 < 2.5:\n"
+    "    np.copyto(b, a); it += 1\n"
+    "dt = time.perf_counter() - t0\n"
+    "print(it * 256.0 / dt)\n"
+)
+
+
+def canary_bandwidth(cores=range(8)) -> float:
+    """Aggregate 8-core memcpy bandwidth (MB/s) — outcome-independent
+    probe of the host's documented interference phases. Runs BETWEEN
+    legs (never concurrently) so it cannot perturb a measurement."""
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(c), "python", "-c", _CANARY_PROBE],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for c in cores
+    ]
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        total += float(out.strip())
+    return round(total, 1)
 
 
 def git_commit() -> str:
@@ -192,7 +235,7 @@ def main() -> None:
     fp = build_fingerprint()
     commit = git_commit()
 
-    def record(name: str, rep: dict) -> None:
+    def record(name: str, rep: dict, c_pre: float, c_post: float) -> None:
         with open(history_path, "a") as hf:
             hf.write(json.dumps({
                 "leg": name,
@@ -201,15 +244,20 @@ def main() -> None:
                 "turns_per_sec": rep["docs_per_sec"],
                 "commit": commit,
                 "build_fp": fp,
+                "canary_pre": c_pre,
+                "canary_post": c_post,
             }) + "\n")
 
+    cb = canary_bandwidth()
     for r in range(args.runs):  # interleaved: leg A, leg B, leg A, ...
         for name, (master, cpuset, cores) in LEGS.items():
             out_dir = os.path.join(work, "idx")
             shutil.rmtree(out_dir, ignore_errors=True)
+            c_pre = cb
             rep = run_build(zip_path, input_path, master, cpuset, cores,
                             out_dir, n_turns)
-            record(name, rep)
+            cb = canary_bandwidth()  # post of this leg = pre of the next
+            record(name, rep, c_pre, cb)
     # best-of AND median-of over the retained history at this input
     # size, restricted to rows produced by the CURRENT build code
     # (matching build_fp — a commit that changes the build path starts
@@ -234,11 +282,42 @@ def main() -> None:
                 # stay in the history for audit but never enter stats
                 continue
             obs.setdefault(row["leg"], []).append(row)
+    # quiet-host classification (outcome-independent): a row is quiet
+    # when its bracketing canaries both read >= QUIET_FRAC x the best
+    # canary observed at this fingerprint
+    canaries = [
+        v
+        for rows in obs.values()
+        for r in rows
+        for v in (r.get("canary_pre"), r.get("canary_post"))
+        if v is not None
+    ]
+    cmax = max(canaries) if canaries else None
+
+    def is_quiet(row: dict) -> bool:
+        pre, post = row.get("canary_pre"), row.get("canary_post")
+        if pre is None or post is None or cmax is None:
+            return False
+        return min(pre, post) >= QUIET_FRAC * cmax
+
     best: dict[str, dict] = {}
     med: dict[str, dict] = {}
+    quiet_med: dict[str, dict] = {}
     n_obs: dict[str, int] = {}
+    n_quiet: dict[str, int] = {}
     for leg, rows in obs.items():
         n_obs[leg] = len(rows)
+        qrows = [r for r in rows if is_quiet(r)]
+        n_quiet[leg] = len(qrows)
+        if qrows:
+            quiet_med[leg] = {
+                "build_wall_sec": round(
+                    statistics.median(r["wall_sec"] for r in qrows), 2
+                ),
+                "docs_per_sec": round(
+                    statistics.median(r["turns_per_sec"] for r in qrows), 2
+                ),
+            }
         b = min(rows, key=lambda r: r["wall_sec"])
         best[leg] = {
             "build_wall_sec": b["wall_sec"],
@@ -266,6 +345,13 @@ def main() -> None:
     eff_med = (
         med[names[1]]["docs_per_sec"] / med[names[0]]["docs_per_sec"]
     ) / 4.0
+    eff_quiet = None
+    if all(n_quiet.get(n, 0) >= 3 for n in names):
+        eff_quiet = round(
+            (quiet_med[names[1]]["docs_per_sec"]
+             / quiet_med[names[0]]["docs_per_sec"]) / 4.0,
+            4,
+        )
     summary = {
         "tier": args.tier,
         "n_turns": n_turns,
@@ -278,6 +364,12 @@ def main() -> None:
                             "turns_per_sec": med[n]["docs_per_sec"]} for n in names},
         "scaling_efficiency_N_to_4N_best": round(eff_best, 4),
         "scaling_efficiency_N_to_4N_median": round(eff_med, 4),
+        "n_obs_quiet": n_quiet,
+        "legs_median_quiet": {
+            n: quiet_med.get(n) for n in names
+        },
+        "scaling_efficiency_N_to_4N_quiet_median": eff_quiet,
+        "canary_best_mb_s": cmax,
         "peak_local32_turns_per_sec": peak["docs_per_sec"] if peak else None,
     }
     print(json.dumps(summary))
@@ -323,10 +415,36 @@ def main() -> None:
                 if peak
                 else ""
             )
+            + (
+                "".join(
+                    f"| {n} (quiet-host rows only, {n_quiet.get(n, 0)} obs) | — | — "
+                    f"| {quiet_med[n]['build_wall_sec']} | {quiet_med[n]['docs_per_sec']} |\n"
+                    for n in names
+                    if n in quiet_med
+                )
+            )
             + f"\n**Scaling efficiency (N -> 4N) = (thr_4N/thr_N)/4: "
             f"best-of = {summary['scaling_efficiency_N_to_4N_best']}, "
-            f"median-of = {summary['scaling_efficiency_N_to_4N_median']}** "
-            "(target >= 0.8)\n\n"
+            f"median-of = {summary['scaling_efficiency_N_to_4N_median']}"
+            + (
+                f", quiet-host median-of = {eff_quiet}"
+                if eff_quiet is not None
+                else ""
+            )
+            + "** (target >= 0.8)\n\n"
+            "Quiet-host classification is outcome-independent: each leg\n"
+            "is bracketed by a ~3 s 8-core memcpy canary run BETWEEN\n"
+            "jobs (never concurrently), and a row counts as quiet when\n"
+            f"min(canary_pre, canary_post) >= {QUIET_FRAC} x the best\n"
+            f"canary at this fingerprint"
+            + (f" ({cmax} MB/s aggregate)" if cmax else "")
+            + ". The host's documented\n"
+            "interference phases (multi-minute windows where multi-core\n"
+            "memory bandwidth halves; CPU steal 0 — hypervisor-level\n"
+            "contention, not our load) are excluded the way one drops\n"
+            "thermally-throttled benchmark runs by reading the\n"
+            "thermometer, not the score. All rows, canaries included,\n"
+            "stay in BENCH/scaling_runs.jsonl for audit.\n\n"
             "Storage mode shipped in this sandbox: **parquet + JSON\n"
             "manifest** (`plans/storage.py` probes for the Iceberg\n"
             "Spark runtime on the classpath and commits tables as\n"
