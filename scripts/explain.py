@@ -149,6 +149,28 @@ def main() -> None:
         ["RLIKE", "HashAggregate", "TakeOrderedAndProject"],
     ))
 
+    from peterman_search_engine_spark.operators.curation import (
+        curation_pipeline,
+    )
+
+    docs_src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    pipe = curation_pipeline(
+        docs_src,
+        docs_src.filter(F.col("doc_id") % 53 == 0),
+        strata_col="source",
+        rates={"src0": 0.5},
+    )
+    sections.append((
+        "Curation pipeline — dedup hash-agg + two semi-joins; the "
+        "quality floor and the deterministic sample hash are plain "
+        "Filter predicates fused into the scan (no extra pass over "
+        "text), and decontamination shingles only surviving docs",
+        formatted(pipe),
+        ["HashAggregate", "LeftSemi", "Filter"],
+    ))
+
     doc_stats = corpus.select("doc_id", F.size(tokens_expr("text")).alias("doc_len"))
     sections.append((
         "JVM doc-length pass — single columnar scan + projection; the "
