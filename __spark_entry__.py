@@ -864,6 +864,34 @@ def q_regex(spark, sf):
 
 
 QUALITY_MIN_E6 = 500_000
+LSH_PROBE_RADIUS = 3
+
+
+def q_ann_lsh_multiprobe(spark, sf):
+    """Multi-probe LSH ANN (similarity.lsh_multiprobe_topk): one scan
+    with bit_count(bucket XOR q) <= radius as the probe filter — the
+    recall-vs-scanned-fraction knob single-bucket LSH lacks."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _query_vec(spark, sf)
+    qb = SIM.query_bucket(qv)
+    scored = emb.filter(
+        (
+            F.bit_count(
+                SIM.bucket_expr(F.col("embedding"), len(qv)).bitwiseXOR(F.lit(qb))
+            )
+            <= F.lit(LSH_PROBE_RADIUS)
+        )
+        & (F.col("vec_id") != 0)
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        SIM.cosine(F.col("embedding"), F.array(*[F.lit(v) for v in qv])).alias("cos"),
+    )
+    return (
+        scored.withColumn("cos_e6", _e6(F.col("cos")))
+        .select("vec_id", "cos_e6")
+        .orderBy(F.desc("cos_e6"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
 
 
 def q_curation_pipeline(spark, sf):
@@ -964,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex,
         "text_repetition": q_text_repetition,
         "curation_pipeline": q_curation_pipeline,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     }
 
 
@@ -1075,5 +1104,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": S.sql_curation_pipeline(
             SAMPLE_RATES, 1.0, "pse-sample", QUALITY_MIN_E6,
             DECONTAM_MOD, DECONTAM_MIN_OVERLAP,
+        ),
+        "ann_lsh_multiprobe": S.sql_ann_lsh_multiprobe(
+            TOP_K, radius=LSH_PROBE_RADIUS
         ),
     }

@@ -92,7 +92,8 @@ def main() -> None:
         "bm25_topk_stemmed", "bm25_wand_topk", "bm25_wand_forced", "tfidf_topk",
         "term_stats", "postings_dump", "dedup_exact", "dedup_minhash",
         "dedup_lsh_pairs", "dedup_clusters", "dedup_simhash", "dedup_embedding",
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
+        "ann_ivf_topk",
         "sample_stratified", "decontaminate",
         "text_token_counts", "text_quality", "text_lang_id",
         "text_fingerprint", "events_hourly", "streaming_events_hourly",
@@ -174,7 +175,7 @@ def main() -> None:
     # brute-force cosine top-k (same query vector, same exclusions)
     exact_ids = {r.vec_id for r in qmap["ann_cosine_topk"](spark, sf_dir).collect()}
     ann_recall = {}
-    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+    for name in ("ann_lsh_topk", "ann_lsh_multiprobe", "ann_ivf_topk"):
         approx_ids = {r.vec_id for r in qmap[name](spark, sf_dir).collect()}
         ann_recall[name] = round(len(exact_ids & approx_ids) / len(exact_ids), 3)
 

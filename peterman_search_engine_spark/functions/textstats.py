@@ -153,20 +153,26 @@ def dup_word_fraction(text: Column) -> Column:
 def dup_bigram_fraction(text: Column) -> Column:
     """Fraction of adjacent word-bigram occurrences that are repeats
     (the strongest of the Gopher duplicate-n-gram family for catching
-    boilerplate loops). 0.0 for docs with < 2 words. sequence() is
-    guarded — it counts DOWN when hi < lo."""
+    boilerplate loops). 0.0 for docs with < 2 words.
+
+    Bigrams come from ``zip_with`` over two slices of the word array —
+    NOT from a ``transform(sequence(...), i -> element_at(w, ...))``
+    lambda: a lambda that references the outer array column
+    re-evaluates that whole expression (split + filter) per ELEMENT,
+    turning a map-only column into O(n²) per doc (measured: 46 s vs
+    ~1 s for the full sf0.1 pass). ``zip_with``'s lambda touches only
+    its bound element variables, so each side is evaluated once per
+    row. The CASE guard keeps the negative-length slice unevaluated
+    for 0/1-word docs (ANSI would throw)."""
     w = _ws_words(text)
     n = F.size(w)
-    bg = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(2)),
-            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    nb = F.size(bg)
+    m = n - F.lit(1)  # bigram count when n >= 2
+    bg = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
     return F.when(
-        nb > 0,
+        n >= 2,
         F.lit(1.0)
-        - F.size(F.array_distinct(bg)).cast("double") / nb.cast("double"),
+        - F.size(F.array_distinct(bg)).cast("double") / m.cast("double"),
     ).otherwise(F.lit(0.0))

@@ -311,3 +311,45 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    num_planes: int = NUM_PLANES,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Multi-probe LSH ANN (the probing idea of Lv et al., VLDB 2007,
+    on hyperplane signatures): scan every bucket within Hamming
+    distance <= ``radius`` of the query's signature instead of the
+    single exact bucket. A true neighbor lands in the probe set iff it
+    disagrees with the query on at most ``radius`` hyperplanes, so
+    recall rises steeply with radius while the scanned fraction stays
+    ~ sum_{j<=radius} C(num_planes, j) / 2^num_planes.
+
+    The probe is ONE scan filter — ``bit_count(bucket XOR q) <=
+    radius`` — so the plan stays a single pruned pass + cosine top-k;
+    on bucket-partitioned storage a small radius can instead enumerate
+    the C(planes, <=radius) bucket ids for partition pruning.
+    Returns (vec_id, cos double) ordered by (-cos, vec_id).
+
+    radius=0 is exactly :func:`lsh_bucketed_topk`;
+    radius=num_planes degenerates to the brute-force scan.
+    """
+    dim = len(query_vec)
+    qbucket = query_bucket(query_vec, num_planes)
+    with_b = embeddings.withColumn(
+        "_bucket", _bucket_expr(F.col(vec_col), dim, num_planes)
+    ).filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket)))
+        <= F.lit(int(radius))
+    )
+    return cosine_topk(
+        with_b, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    )

@@ -1217,3 +1217,43 @@ WHERE CAST(ROUND(1000000 * (
   AND COALESCE(ov.n_overlap, 0) < {min_overlap}
   AND ({h}) % {res} < (CASE {cases} ELSE {int(default_rate * res)} END)
 ORDER BY d.doc_id"""
+
+
+def sql_ann_lsh_multiprobe(
+    k: int, query_id: int = 0, num_planes: int = NUM_PLANES,
+    radius: int = 1,
+) -> str:
+    """Multi-probe LSH oracle: identical signature computation to
+    sql_ann_lsh, with the candidate set widened to every bucket within
+    Hamming distance <= radius of the query's bucket."""
+    return f"""WITH {EMB_DOT},
+planes AS (
+  SELECT CAST(p AS INTEGER) AS p, CAST(i AS INTEGER) AS i,
+         CAST(((p * 37 + i * 11) % 5) - 2 AS DOUBLE) AS c
+  FROM range({num_planes}) t(p), range(64) s(i)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.c) AS d
+  FROM embu e JOIN planes pl ON pl.i = e.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN ROUND(d * 1000000) > 0
+             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {query_id}),
+q AS (SELECT i, x AS qx FROM embu WHERE vec_id = {query_id}),
+cand AS (SELECT b.vec_id FROM buckets b, qb
+         WHERE bit_count(xor(b.bucket, qb.bucket)) <= {radius}
+           AND b.vec_id <> {query_id}),
+cd AS (
+  SELECT e.vec_id, sum(e.x * q.qx) AS dot, sum(e.x * e.x) AS n2
+  FROM embu e JOIN q USING (i) JOIN cand USING (vec_id)
+  GROUP BY e.vec_id
+),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qnorm FROM q)
+SELECT vec_id,
+       CAST(ROUND(1000000 * dot / (sqrt(n2) * qn.qnorm)) AS BIGINT) AS cos_e6
+FROM cd, qn ORDER BY cos_e6 DESC, vec_id LIMIT {k}"""

@@ -183,3 +183,36 @@ def test_curation_pipeline_composition(spark):
     # doc 1 is an exact dup of 0 (min-id survives), 2 fails the quality
     # floor, 3 shares >= 2 shingles with the benchmark
     assert {(r["doc_id"], r["source"]) for r in got} == {(0, "a"), (4, "b")}
+
+
+def test_lsh_multiprobe_radius_semantics(spark):
+    from peterman_search_engine_spark.operators.similarity import (
+        NUM_PLANES,
+        cosine_topk,
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+
+    def ids(df):
+        return [r["vec_id"] for r in df.collect()]
+
+    # radius 0 == the single-bucket probe
+    assert ids(
+        lsh_multiprobe_topk(emb, qv, radius=0, exclude_ids=[0])
+    ) == ids(lsh_bucketed_topk(emb, qv, exclude_ids=[0]))
+    # radius == num_planes degenerates to brute force
+    assert ids(
+        lsh_multiprobe_topk(emb, qv, radius=NUM_PLANES, exclude_ids=[0])
+    ) == ids(cosine_topk(emb, qv, exclude_ids=[0]))
+    # recall vs brute force is non-decreasing in radius (candidate set
+    # only grows)
+    exact = set(ids(cosine_topk(emb, qv, exclude_ids=[0])))
+    last = -1.0
+    for r in (0, 2, 4, NUM_PLANES):
+        rec = len(exact & set(ids(lsh_multiprobe_topk(emb, qv, radius=r, exclude_ids=[0])))) / len(exact)
+        assert rec >= last
+        last = rec
+    assert last == 1.0
