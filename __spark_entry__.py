@@ -867,6 +867,35 @@ QUALITY_MIN_E6 = 500_000
 LSH_PROBE_RADIUS = 3
 
 
+def q_bm25_page2(spark, sf):
+    """Keyset pagination (query.search_bm25_page): page 2 of the BM25
+    ranking. The cursor is page 1's last (score_e6, doc_id) — O(k)
+    client-side state, exactly what a search API hands back."""
+    idx = _index(spark, sf)
+    page1 = Q.search_bm25_page(idx, BM25_TERMS, TOP_K).collect()
+    cur = (page1[-1]["score_e6"], page1[-1]["doc_id"])
+    return Q.search_bm25_page(idx, BM25_TERMS, TOP_K, cursor=cur)
+
+
+def q_rank_eval(spark, sf):
+    """TREC-style eval harness (operators/evaluation.rank_eval): MRR +
+    binary nDCG@10 of the batch-BM25 run against conjunctive-
+    containment qrels."""
+    from pyspark.sql.window import Window
+
+    from peterman_search_engine_spark.operators.batch import batch_bm25_topk
+    from peterman_search_engine_spark.operators.evaluation import (
+        and_qrels,
+        rank_eval,
+    )
+
+    idx = _index(spark, sf)
+    runs = batch_bm25_topk(idx, BATCH_QUERIES, TOP_K, rank_e6=True)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    runs = runs.withColumn("rank", F.row_number().over(w))
+    return rank_eval(runs, and_qrels(idx, BATCH_QUERIES), k=TOP_K)
+
+
 def q_ann_lsh_multiprobe(spark, sf):
     """Multi-probe LSH ANN (similarity.lsh_multiprobe_topk): one scan
     with bit_count(bucket XOR q) <= radius as the probe filter — the
@@ -993,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "curation_pipeline": q_curation_pipeline,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "bm25_page2": q_bm25_page2,
+        "rank_eval": q_rank_eval,
     }
 
 
@@ -1108,4 +1139,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": S.sql_ann_lsh_multiprobe(
             TOP_K, radius=LSH_PROBE_RADIUS
         ),
+        "bm25_page2": S.sql_bm25_page2(BM25_TERMS, TOP_K),
+        "rank_eval": S.sql_rank_eval(BATCH_QUERIES, TOP_K),
     }

@@ -102,7 +102,7 @@ def main() -> None:
         "bm25f_topk", "grouped_rank", "more_like_this",
         "bigram_pmi", "text_redact", "boolean_query", "streaming_sessionize",
         "lm_dirichlet_topk", "hybrid_rrf_topk", "regex_search",
-        "text_repetition", "curation_pipeline",
+        "text_repetition", "curation_pipeline", "bm25_page2", "rank_eval",
     ]
     # index-build for the driver tables happens inside the first query;
     # time it separately so per-query numbers reflect query cost.

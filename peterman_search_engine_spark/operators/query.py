@@ -527,6 +527,34 @@ def search_bm25(index: InvertedIndex, terms: list[str], top_k: int | None) -> Da
     return top_k_df(bm25_scores(index, terms), top_k)
 
 
+def search_bm25_page(
+    index: InvertedIndex,
+    terms: list[str],
+    k: int,
+    cursor: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Keyset (search-after) pagination over the BM25 ranking —
+    page boundaries on the rounded (score_e6, doc_id) sort key, so a
+    page is a pure FILTER + top-k and never an OFFSET: page N costs
+    the same one TakeOrderedAndProject as page 1, and a doc inserted
+    between requests can't shift rows across already-served pages
+    the way OFFSET pagination does. ``cursor`` is the (score_e6,
+    doc_id) of the last row the client saw (None -> first page).
+    Returns (doc_id, score_e6)."""
+    scored = (
+        bm25_scores(index, terms)
+        .withColumn("score_e6", F.round(F.col("score") * 1_000_000).cast("long"))
+        .select("doc_id", "score_e6")
+    )
+    if cursor is not None:
+        se, did = int(cursor[0]), int(cursor[1])
+        scored = scored.filter(
+            (F.col("score_e6") < se)
+            | ((F.col("score_e6") == se) & (F.col("doc_id") > did))
+        )
+    return scored.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(k)
+
+
 def search_bm25_filtered(
     index: InvertedIndex,
     terms: list[str],

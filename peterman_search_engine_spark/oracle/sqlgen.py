@@ -1257,3 +1257,71 @@ qn AS (SELECT sqrt(sum(qx * qx)) AS qnorm FROM q)
 SELECT vec_id,
        CAST(ROUND(1000000 * dot / (sqrt(n2) * qn.qnorm)) AS BIGINT) AS cos_e6
 FROM cd, qn ORDER BY cos_e6 DESC, vec_id LIMIT {k}"""
+
+
+def sql_bm25_page2(terms: list[str], k: int) -> str:
+    """Second page of the BM25 ranking by keyset pagination
+    (query.search_bm25_page): the cursor is page 1's last row on the
+    (score_e6 DESC, doc_id ASC) key, computed inside the query so the
+    oracle is self-contained at any scale factor."""
+    inner = sql_bm25(terms, 1_000_000)
+    return f"""WITH scored AS ({inner}),
+p1 AS (SELECT doc_id, score_e6 FROM scored
+       ORDER BY score_e6 DESC, doc_id LIMIT {k}),
+cur AS (SELECT score_e6, doc_id FROM p1
+        ORDER BY score_e6 ASC, doc_id DESC LIMIT 1)
+SELECT s.doc_id, s.score_e6
+FROM scored s, cur
+WHERE s.score_e6 < cur.score_e6
+   OR (s.score_e6 = cur.score_e6 AND s.doc_id > cur.doc_id)
+ORDER BY s.score_e6 DESC, s.doc_id LIMIT {k}"""
+
+
+def sql_rank_eval(queries: dict[int, list[str]], k: int) -> str:
+    """TREC-style MRR + binary nDCG@k (operators/evaluation.rank_eval)
+    of the batch-BM25 run against conjunctive-containment qrels (a doc
+    is relevant to a query iff it contains every query term — the
+    reference's AND semantics as a deterministic judgment set)."""
+    pairs = sorted(
+        {(int(qid), t) for qid, terms in queries.items() for t in set(terms)}
+    )
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""WITH {TOKS_CTE},
+qv(qid, term) AS (VALUES {vals}),
+qn AS (SELECT qid, count(*) AS n_terms FROM qv GROUP BY qid),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+rel AS (
+  SELECT g.qid, g.doc_id
+  FROM (SELECT qv.qid, tf.doc_id, count(DISTINCT tf.tok) AS n
+        FROM tf JOIN qv ON tf.tok = qv.term GROUP BY 1, 2) g
+  JOIN qn ON qn.qid = g.qid AND g.n = qn.n_terms
+),
+nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+runs AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score_e6 DESC, doc_id
+         ) AS rank
+  FROM ({sql_batch_bm25(queries, k)})
+),
+hit AS (
+  SELECT r.qid, min(r.rank) AS frank,
+         sum(1.0 / log2(r.rank + 1)) AS dcg
+  FROM runs r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+  GROUP BY r.qid
+),
+idcg AS (
+  SELECT qid, sum(1.0 / log2(rn + 1)) AS idcg
+  FROM (SELECT qid, row_number() OVER (
+          PARTITION BY qid ORDER BY doc_id) AS rn FROM rel) z
+  WHERE rn <= {k}
+  GROUP BY qid
+)
+SELECT nrel.qid, nrel.n_rel,
+       CAST(ROUND(COALESCE(1.0 / hit.frank, 0.0) * 1000000) AS BIGINT)
+         AS mrr_e6,
+       CAST(ROUND(COALESCE(hit.dcg / idcg.idcg, 0.0) * 1000000) AS BIGINT)
+         AS ndcg_e6
+FROM nrel LEFT JOIN hit ON hit.qid = nrel.qid
+LEFT JOIN idcg ON idcg.qid = nrel.qid
+ORDER BY nrel.qid"""

@@ -216,3 +216,50 @@ def test_lsh_multiprobe_radius_semantics(spark):
         assert rec >= last
         last = rec
     assert last == 1.0
+
+
+def test_bm25_keyset_pagination(index):
+    from peterman_search_engine_spark.operators.query import (
+        search_bm25,
+        search_bm25_page,
+    )
+
+    full = [r["doc_id"] for r in search_bm25(index, ["apple"], None).collect()]
+    assert len(full) == 2
+    p1 = search_bm25_page(index, ["apple"], 1).collect()
+    cur = (p1[-1]["score_e6"], p1[-1]["doc_id"])
+    p2 = search_bm25_page(index, ["apple"], 1, cursor=cur).collect()
+    cur2 = (p2[-1]["score_e6"], p2[-1]["doc_id"])
+    p3 = search_bm25_page(index, ["apple"], 1, cursor=cur2).collect()
+    assert [r["doc_id"] for r in p1 + p2] == full  # pages tile the ranking
+    assert p3 == []                                # past the end: empty
+
+
+def test_rank_eval_hand_computed(spark):
+    import math
+
+    from peterman_search_engine_spark.operators.evaluation import rank_eval
+
+    runs = spark.createDataFrame(
+        [
+            (0, 2, 1), (0, 7, 2), (0, 3, 3),   # rel hits at ranks 1 and 3
+            (1, 4, 1), (1, 9, 2),              # first rel at rank 2
+            (2, 8, 1),                          # no rel retrieved
+        ],
+        "qid int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 9), (2, 5)],
+        "qid int, doc_id long",
+    )
+    got = {r["qid"]: r for r in rank_eval(runs, qrels, k=3).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["n_rel"] == 3 and got[1]["n_rel"] == 1 and got[2]["n_rel"] == 1
+
+    dcg0 = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg0 = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert got[0]["mrr_e6"] == round(1.0 * 1e6)
+    assert got[0]["ndcg_e6"] == round(dcg0 / idcg0 * 1e6)
+    assert got[1]["mrr_e6"] == round(0.5 * 1e6)
+    assert got[1]["ndcg_e6"] == round((1 / math.log2(3)) / 1.0 * 1e6)
+    assert got[2]["mrr_e6"] == 0 and got[2]["ndcg_e6"] == 0
