@@ -57,18 +57,44 @@ class Node:
     children: tuple["Node", ...] = ()
 
     # -- SQL rendering (oracle side) ------------------------------------
-    def to_sql(self, *, universe: str = "SELECT doc_id FROM documents") -> str:
+    def to_sql(
+        self,
+        *,
+        universe: str = "SELECT doc_id FROM documents",
+        analyze=None,
+    ) -> str:
+        """Render as ANSI SQL over the toks CTE. ``analyze`` (optional)
+        is the SAME analyzer the Spark side applies to non-wildcard
+        term and phrase leaves (``list[str] -> list[str]``) — pass it
+        when the index is stemmed so both renderings of the parse see
+        identical leaf tokens."""
         if self.kind == "term":
-            t = self.value.replace("'", "''")
-            if "*" in t:
+            if "*" in self.value:
+                t = self.value.replace("'", "''")
                 pat = t.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
                 return (
                     "SELECT DISTINCT doc_id FROM toks "
                     f"WHERE tok LIKE '{pat}' ESCAPE '\\'"
                 )
-            return f"SELECT DISTINCT doc_id FROM toks WHERE tok = '{t}'"
+            toks = analyze([self.value]) if analyze else [self.value]
+            if not toks:
+                # analyzed away (stop word) -> matches nothing, exactly
+                # like a term absent from the dictionary
+                return "SELECT doc_id FROM toks WHERE FALSE"
+            esc = [t.replace("'", "''") for t in toks]
+            if len(esc) == 1:
+                return f"SELECT DISTINCT doc_id FROM toks WHERE tok = '{esc[0]}'"
+            in_list = ", ".join(f"'{t}'" for t in esc)
+            return f"SELECT DISTINCT doc_id FROM toks WHERE tok IN ({in_list})"
         if self.kind == "phrase":
+            # escape each word exactly like term leaves — a phrase
+            # containing an apostrophe must not break/inject the oracle
             words = self.value.split()
+            if analyze:
+                words = analyze(words)
+            if not words:
+                return "SELECT doc_id FROM toks WHERE FALSE"
+            words = [w.replace("'", "''") for w in words]
             base = "SELECT DISTINCT t0.doc_id FROM toks t0"
             joins = "".join(
                 f" JOIN toks t{j} ON t{j}.doc_id = t0.doc_id"
@@ -81,16 +107,22 @@ class Node:
             pos = [c for c in self.children if c.kind != "not"]
             neg = [c.children[0] for c in self.children if c.kind == "not"]
             if pos:
-                sql = " INTERSECT ".join(f"({c.to_sql(universe=universe)})" for c in pos)
+                sql = " INTERSECT ".join(
+                    f"({c.to_sql(universe=universe, analyze=analyze)})" for c in pos
+                )
             else:
                 sql = f"({universe})"
             for n in neg:
-                sql = f"({sql}) EXCEPT ({n.to_sql(universe=universe)})"
+                sql = f"({sql}) EXCEPT ({n.to_sql(universe=universe, analyze=analyze)})"
             return sql
         if self.kind == "or":
-            return " UNION ".join(f"({c.to_sql(universe=universe)})" for c in self.children)
+            return " UNION ".join(
+                f"({c.to_sql(universe=universe, analyze=analyze)})"
+                for c in self.children
+            )
         if self.kind == "not":
-            return f"({universe}) EXCEPT ({self.children[0].to_sql(universe=universe)})"
+            inner = self.children[0].to_sql(universe=universe, analyze=analyze)
+            return f"({universe}) EXCEPT ({inner})"
         raise BoolParseError(f"unknown node kind {self.kind}")
 
 
@@ -176,7 +208,12 @@ def _eval(index, node: Node) -> DataFrame:
     if node.kind == "term":
         if "*" in node.value:
             return search_wildcard(index, node.value)
-        return _docs_for_terms(index, [node.value])
+        # run the leaf through the index analyzer so a stem=True index
+        # resolves 'merges' to the stored stem exactly like search_and
+        # does; a stop word analyzes to [] and matches nothing
+        from .query import _analyzed
+
+        return _docs_for_terms(index, _analyzed(index, [node.value]))
     if node.kind == "phrase":
         return search_phrase(index, node.value.split())
     if node.kind == "or":
@@ -211,15 +248,19 @@ def _universe(index) -> DataFrame:
 
 def search_boolean(index, query: str) -> DataFrame:
     """Parse and run a boolean query string against the index.
-    Returns (doc_id). Terms are lowercased; the analyzer's stop-word
-    list applies to leaf terms implicitly (a stop word is absent from
-    the dictionary, so it matches nothing — callers wanting reference
-    AND-semantics over stop words should pre-analyze)."""
+    Returns (doc_id). Non-wildcard term and phrase leaves run through
+    the index analyzer (lowercase + stop words + stem when the index
+    is stemmed), so ``search_boolean('merges')`` agrees with
+    ``search_and(['merges'])`` on a stem=True index; a stop-word leaf
+    analyzes to nothing and matches nothing. Wildcard leaves stay
+    surface-form (same rationale as search_wildcard)."""
     return _eval(index, parse(query))
 
 
-def boolean_oracle_sql(query: str, toks_cte: str) -> str:
+def boolean_oracle_sql(query: str, toks_cte: str, *, analyze=None) -> str:
     """The DuckDB oracle for the same query string: one parse, SQL
-    rendering over the provided toks CTE."""
-    body = parse(query).to_sql()
+    rendering over the provided toks CTE. Pass the index's analyzer as
+    ``analyze`` (``list[str] -> list[str]``) when the index is stemmed
+    so oracle leaves match the Spark side's analyzed leaves."""
+    body = parse(query).to_sql(analyze=analyze)
     return f"WITH {toks_cte}\nSELECT doc_id FROM ({body}) ORDER BY doc_id"

@@ -150,7 +150,37 @@ def _docs_for_terms(index: InvertedIndex, terms: list[str]) -> DataFrame:
     return _live(index, p.select(F.explode("doc_ids").alias("doc_id")).distinct())
 
 
-def search_fuzzy(index: InvertedIndex, term: str, max_dist: int = 1) -> DataFrame:
+# Ceiling on how many matched dictionary terms an expansion query may
+# bring to the driver. Below it, the IN-filtered plan keeps parquet
+# predicate pushdown on the posting scan; above it (adversarial
+# patterns like ``*e*`` that match half the dictionary), the SAME
+# predicate moves onto the posting scan itself and the matched-term
+# set never leaves the executors — identical results, bounded driver.
+DEFAULT_MAX_EXPANSIONS = 512
+
+
+def _expand_or_distribute(
+    index: InvertedIndex, term_pred: Column, max_expansions: int
+) -> DataFrame:
+    """Shared tail of fuzzy/wildcard search: bounded dictionary
+    expansion. The probe collects at most ``max_expansions + 1`` terms
+    (LIMIT-pushed, O(cap) driver memory even when millions match); the
+    overflow branch is the search_regex-style fully distributed plan.
+    Returns (doc_id)."""
+    matched = index.term_stats.filter(term_pred).select("term")
+    terms = [r["term"] for r in matched.limit(max_expansions + 1).collect()]
+    if len(terms) <= max_expansions:
+        return _docs_for_terms(index, sorted(terms))
+    p = index.postings.filter(term_pred)
+    return _live(index, p.select(F.explode("doc_ids").alias("doc_id")).distinct())
+
+
+def search_fuzzy(
+    index: InvertedIndex,
+    term: str,
+    max_dist: int = 1,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
     """Fuzzy term search (beyond-reference): docs containing ANY
     dictionary term within Levenshtein distance ``max_dist`` of the
     lowercased query term (typo tolerance — ``vectr`` finds
@@ -159,27 +189,30 @@ def search_fuzzy(index: InvertedIndex, term: str, max_dist: int = 1) -> DataFram
 
     Plan: dictionary expansion then the ordinary OR. The expansion
     scans the metadata-sized term_stats dictionary with a JVM
-    ``levenshtein`` filter (codegen, no Python) and brings the matched
-    terms to the driver — O(matches), bounded by the edit-ball around
-    one term — so the posting scan keeps its IN-filter parquet
-    pushdown. At 10^8-term dictionary scale the linear scan is one
-    narrow-column job; the classic upgrade (a deletion-neighborhood /
-    FST dictionary index) changes only this expansion step.
-    Returns (doc_id)."""
+    ``levenshtein`` filter (codegen, no Python) and brings at most
+    ``max_expansions`` matched terms to the driver so the posting scan
+    keeps its IN-filter parquet pushdown; past the cap (a huge edit
+    ball) the levenshtein predicate moves onto the posting scan itself
+    and stays fully distributed. At 10^8-term dictionary scale the
+    linear scan is one narrow-column job; the classic upgrade (a
+    deletion-neighborhood / FST dictionary index) changes only this
+    expansion step. Returns (doc_id)."""
     q = term.strip().lower()
     spark = index.postings.sparkSession
     if not q:
         return spark.createDataFrame([], "doc_id long")
-    matched = (
-        index.term_stats
-        .filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_dist)
-        .select("term")
+    return _expand_or_distribute(
+        index,
+        F.levenshtein(F.col("term"), F.lit(q)) <= max_dist,
+        max_expansions,
     )
-    terms = sorted(r["term"] for r in matched.collect())
-    return _docs_for_terms(index, terms)
 
 
-def search_wildcard(index: InvertedIndex, pattern: str) -> DataFrame:
+def search_wildcard(
+    index: InvertedIndex,
+    pattern: str,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
     """Wildcard search (beyond-reference): docs containing ANY
     dictionary term matching the ``*``-pattern (``v*r`` -> vector,
     var, ...). ``*`` matches any run including empty; the pattern is
@@ -188,16 +221,18 @@ def search_wildcard(index: InvertedIndex, pattern: str) -> DataFrame:
 
     Plan: dictionary expansion via a LIKE filter on term_stats (a
     leading-literal pattern also row-group-prunes on the term-sorted
-    layout), matched terms to the driver (O(matches)), then the
-    IN-filtered posting scan. Returns (doc_id)."""
+    layout), at most ``max_expansions`` matched terms to the driver,
+    then the IN-filtered posting scan; past the cap (adversarial
+    patterns like ``*e*``) the LIKE predicate moves onto the posting
+    scan itself — no unbounded driver list. Returns (doc_id)."""
     pat = pattern.strip().lower()
     spark = index.postings.sparkSession
     if not pat or pat.strip("*") == "":
         return spark.createDataFrame([], "doc_id long")
     like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
-    matched = index.term_stats.filter(F.col("term").like(like)).select("term")
-    terms = sorted(r["term"] for r in matched.collect())
-    return _docs_for_terms(index, terms)
+    return _expand_or_distribute(
+        index, F.col("term").like(like), max_expansions
+    )
 
 
 def search_regex(

@@ -80,11 +80,11 @@ from .query import bm25_scores, top_k_df
 # at Σdf = 1.04e7 exhaustive wins 3.4 s vs 8.3 s pruned (the pruned
 # plan's fixed job overhead dominates when the exhaustive scan is
 # already cheap — BENCH/wand_regime_below_gate.json); at Σdf = 1.04e8
-# pruned wins 13.8 s vs 38.2 s (BENCH/wand_regime.json). Fitting
-# wall = fixed + slope·Σdf to both plans puts the crossover at
-# ~2.6e7 entries; 3e7 adds margin on the exhaustive side (the cheap
-# mistake). At 10^12-turn scale any non-rare term clears the gate by
-# orders of magnitude. Tunable per deployment.
+# pruned wins 14.9 s vs 40.1 s, 2.7x (BENCH/wand_regime.json, commit
+# a1481c9). Fitting wall = fixed + slope·Σdf to both plans puts the
+# crossover at ~2.6e7 entries; 3e7 adds margin on the exhaustive side
+# (the cheap mistake). At 10^12-turn scale any non-rare term clears
+# the gate by orders of magnitude. Tunable per deployment.
 DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 
 

@@ -84,6 +84,17 @@ def _session_fold(gap_us: int):
             if start is None:
                 start, last, n = t, t, 1
                 continue
+            if t < last:
+                # the fold's correctness rests on micro-batches arriving
+                # in event-time order (the mtime-ordered file staging in
+                # sessionize_events); an older event would silently
+                # rewind last_us and corrupt session_end/n_events — fail
+                # loudly instead
+                raise ValueError(
+                    f"out-of-order micro-batch for user {user_id}: event at "
+                    f"{t} us predates carried session end {last} us — the "
+                    "event-time-ordered staging invariant was violated"
+                )
             if t - last > gap_us:
                 out.append((int(user_id), start, last, n))  # closed
                 start, last, n = t, t, 1

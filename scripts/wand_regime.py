@@ -12,11 +12,13 @@ measures both plans interleaved (E,P,E,P,...) per the
 host-interference protocol in BENCH/BASELINE.md.
 
 The gate constant itself is grounded by TWO sizes of this study:
-26M docs (pruned wins 2.8x, BENCH/wand_regime.json) and 2.6M docs
+26M docs (pruned wins 2.7x, BENCH/wand_regime.json) and 2.6M docs
 (pruned loses 0.41x — BENCH/wand_regime_below_gate.json, gathered
-with ``--n-docs 2600000 --rare-every 250 --rare-span 500000
---force-prune``); the fitted crossover is ~2.6e7 entries (see
-DEFAULT_PRUNE_MIN_ENTRIES in operators/wand.py).
+with ``--n-docs 2600000 --rare-every 250 --rare-span 500000`` when
+the gate default was still 1e7, so both plans ran without
+``--force-prune``; reproducing it under the current 3e7 gate needs
+``--force-prune`` for the pruned leg). The fitted crossover is
+~2.6e7 entries (see DEFAULT_PRUNE_MIN_ENTRIES in operators/wand.py).
 
 The 26M build needs ~20g driver heap (exhaustive explodes ~1e8
 postings across 32 threads); run with ``PSE_DRIVER_MEM=32g``.

@@ -57,6 +57,34 @@ def test_to_sql_shapes():
     assert sql3.startswith("(SELECT doc_id FROM documents) EXCEPT")
 
 
+def test_to_sql_escapes_apostrophes_in_terms_and_phrases():
+    # ADVICE r3: phrase words must get the same '' escaping as term
+    # leaves — "don't stop" used to render broken/injectable SQL
+    sql = parse('''"don't stop"''').to_sql()
+    assert "'don''t'" in sql and "'stop'" in sql
+    sql2 = parse("don't").to_sql()
+    assert "'don''t'" in sql2
+    # injection shape: a quote trying to close the literal stays inert
+    sql3 = parse('''"a'; drop table toks"''').to_sql()
+    assert "''" in sql3 and "drop" in sql3.lower()
+
+
+def test_to_sql_analyze_hook():
+    from peterman_search_engine_spark.functions.analysis import analyze_query
+
+    def ana(ws):
+        return analyze_query(ws, stem=True)
+
+    sql = parse("merges").to_sql(analyze=ana)
+    assert "tok = 'merg'" in sql
+    # a stop-word leaf analyzes away and matches nothing
+    sql2 = parse("the").to_sql(analyze=ana)
+    assert "WHERE FALSE" in sql2
+    # phrase words are analyzed too
+    sql3 = parse('"merges tables"').to_sql(analyze=ana)
+    assert "'merg'" in sql3 and "'tabl'" in sql3
+
+
 @pytest.fixture(scope="module")
 def bool_index(spark):
     from peterman_search_engine_spark.operators.indexer import build_index
@@ -76,6 +104,35 @@ def bool_index(spark):
 
 def _ids(df):
     return sorted(r["doc_id"] for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def stemmed_bool_index(spark):
+    from peterman_search_engine_spark.operators.indexer import build_index
+
+    rows = [
+        (0, "merge conflicts resolved"),
+        (1, "merging tables quickly"),
+        (2, "merges happen daily"),
+        (3, "nothing relevant here"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    return build_index(corpus, stem=True, positional=True, docs_per_segment=2)
+
+
+def test_boolean_leaves_are_analyzed_on_stemmed_index(stemmed_bool_index):
+    """ADVICE r3: boolean term leaves run through the index analyzer,
+    so search_boolean('merges') agrees with search_and(['merges']) on
+    a stem=True index (the dictionary stores stems)."""
+    from peterman_search_engine_spark.operators.query import search_and
+
+    got = _ids(search_boolean(stemmed_bool_index, "merges"))
+    want = _ids(search_and(stemmed_bool_index, ["merges"]))
+    assert got == want == [0, 1, 2]
+    # stop-word leaf matches nothing, so the AND collapses to empty
+    assert _ids(search_boolean(stemmed_bool_index, "merges AND the")) == []
+    # and phrase leaves analyze identically to search_phrase
+    assert _ids(search_boolean(stemmed_bool_index, '"merging tables"')) == [1]
 
 
 def test_eval_boolean_combinations(bool_index):

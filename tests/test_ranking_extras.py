@@ -108,6 +108,21 @@ def test_wildcard(index):
     assert _ids(search_wildcard(index, "**")) == []
 
 
+def test_expansion_cap_falls_back_to_distributed_plan(index):
+    """VERDICT r3 #5: an adversarial pattern matching more dictionary
+    terms than max_expansions must not materialize an unbounded driver
+    list — the overflow branch keeps the predicate on the posting scan
+    and returns the IDENTICAL doc set."""
+    # '*a*' matches most of the fruit dictionary; cap of 1 forces the
+    # distributed branch (collect is LIMIT(cap+1)-bounded)
+    capped = set(_ids(search_wildcard(index, "*a*", max_expansions=1)))
+    uncapped = set(_ids(search_wildcard(index, "*a*")))
+    assert capped == uncapped and capped  # non-empty, equal
+    fz_capped = set(_ids(search_fuzzy(index, "aple", 2, max_expansions=1)))
+    fz_uncapped = set(_ids(search_fuzzy(index, "aple", 2)))
+    assert fz_capped == fz_uncapped and fz_capped
+
+
 def test_suggest_orders_by_df_then_term(index):
     rows = suggest_terms(index, "p", 10).collect()
     # pear df=1, plum df=3 -> plum first; ties break on term asc

@@ -68,3 +68,41 @@ def test_gap_boundary_inclusive(spark, tmp_path):
         key=lambda r: r["session_start_us"],
     )
     assert [r["n_events"] for r in got] == [2, 1]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _session_fold directly."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+
+def test_fold_rejects_out_of_order_batches():
+    """ADVICE r3: an event older than the carried session end must fail
+    loudly (the staging invariant was violated) instead of silently
+    rewinding last_us and corrupting session_end/n_events."""
+    import pandas as pd
+
+    from peterman_search_engine_spark.streaming.sessionize import _session_fold
+
+    fold = _session_fold(gap_us=1_000_000)
+    state = _FakeState((100, 200, 2))  # carried session ends at t=200
+    stale = pd.DataFrame({"ts_us": [50]})  # predates carried last_us
+    with pytest.raises(ValueError, match="out-of-order micro-batch"):
+        list(fold((7,), iter([stale]), state))
+    # in-order continuation still folds fine
+    state2 = _FakeState((100, 200, 2))
+    ok = pd.DataFrame({"ts_us": [300]})
+    [out] = list(fold((7,), iter([ok]), state2))
+    assert out.iloc[0]["n_events"] == 3 and out.iloc[0]["session_end_us"] == 300
