@@ -1,14 +1,18 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
-ONE JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``. The LAST
+stdout line is ONE compact JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 plus supplementary keys: ``turns_per_sec`` (index-build throughput on
-the synthetic transcript tier, the north-rule headline metric) and
-``p95_query_sec``.
+the synthetic transcript tier, the north-rule headline metric, median
+of 3 builds) and ``p95_query_sec`` (p95 over interleaved per-query
+medians). The first stdout line and ``BENCH/bench_detail.json`` carry
+the full-fidelity record (per-rep samples, wand-regime gate stats);
+the last line is size-capped so the driver's tail capture always
+parses it (BENCH_r03 lesson).
 
 Usage: ``python bench.py`` (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
 PSE_BENCH_TIER to override the transcript tier).
@@ -79,7 +83,15 @@ def main() -> None:
             F.sum("df").alias("df"), F.sum("cf").alias("cf")
         ).write.mode("overwrite").parquet("/tmp/pse_bench_termstats")
 
-    timed("index_build", _build)
+    # turns/sec is the cross-round headline — a one-shot build is not
+    # comparable across host-interference phases (BENCH_r03 recorded a
+    # spurious 1.4x "regression" this way), so report the MEDIAN of
+    # repeated builds and keep the per-rep times in the detail file.
+    build_secs: list[float] = []
+    for rep in range(3):
+        timed(f"index_build_rep{rep}", _build)
+        build_secs.append(timings.pop(f"index_build_rep{rep}"))
+    timings["index_build"] = sorted(build_secs)[len(build_secs) // 2]
     turns_per_sec = round(n_turns / timings["index_build"], 2)
 
     # --- driver query surface at sf_dir
@@ -133,24 +145,24 @@ def main() -> None:
         "bm25_topk", "bm25_wand_topk", "tfidf_topk",
         "and_search", "or_search", "phrase_search",
     ]
-    samples: list[float] = []
     per_query: dict[str, list[float]] = {n: [] for n in topk_queries}
-    for _ in range(4):
+    for _ in range(5):
         for name in topk_queries:
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            samples.append(dt)
             per_query[name].append(dt)
-    samples.sort()
-    p95 = round(samples[min(len(samples) - 1, int(0.95 * len(samples)))], 4)
-    # interleaved per-query medians: the one-shot suite numbers above
-    # are single observations through documented host-interference
-    # phases — regressions are only believable from these medians
-    # (BENCH/BASELINE.md measurement protocol)
+    # interleaved per-query medians: one-shot samples through a
+    # host-interference phase are not comparable across rounds
+    # (BENCH/BASELINE.md measurement protocol) — regressions are only
+    # believable from these medians, and p95 is taken over the per-
+    # query MEDIANS (an interference spike inflates one rep, not the
+    # median of five interleaved reps)
     topk_median = {
         n: round(sorted(v)[len(v) // 2], 4) for n, v in per_query.items()
     }
+    med_sorted = sorted(topk_median.values())
+    p95 = round(med_sorted[min(len(med_sorted) - 1, int(0.95 * len(med_sorted)))], 4)
 
     # --- batch query throughput: a 500-query log ranked in ONE plan
     # (shared posting scan + broadcast fan-out + per-qid window top-k)
@@ -222,26 +234,66 @@ def main() -> None:
     wand_regime = _wand_regime()
     total = round(sum(timings.values()), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "index_build+query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: v for k, v in timings.items()},
-                "sf": sf_dir,
-                "turns_indexed": n_turns,
-                "turns_per_sec": turns_per_sec,
-                "p95_query_sec": p95,
-                "topk_median_sec": topk_median,
-                "batch_query_qps": batch_qps,
-                "ann_recall_at_10": ann_recall,
-                "wand_regime": wand_regime,
-                "cpus": int(cpus) if cpus.isdigit() else cpus,
-                "transcript_tier": tier,
-            }
-        )
+    detail = {
+        "metric": "index_build+query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v for k, v in timings.items()},
+        "sf": sf_dir,
+        "turns_indexed": n_turns,
+        "index_build_reps_sec": [round(s, 4) for s in build_secs],
+        "turns_per_sec": turns_per_sec,
+        "p95_query_sec": p95,
+        "topk_median_sec": topk_median,
+        "topk_reps_sec": {
+            n: [round(s, 4) for s in v] for n, v in per_query.items()
+        },
+        "batch_query_qps": batch_qps,
+        "ann_recall_at_10": ann_recall,
+        "wand_regime": wand_regime,
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
+        "transcript_tier": tier,
+    }
+    # full-fidelity record: to disk and as the FIRST stdout line
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(detail))
+
+    # the driver tail-captures stdout and parses the LAST line —
+    # BENCH_r03's line outgrew that window ("parsed": null), so the
+    # final line is a compact headline (2-dp timings, sub-dicts kept
+    # short) hard-capped at 1400 chars by trimming "queries" to the
+    # slowest entries; the full dict is the first line + detail file.
+    compact = {
+        "metric": "index_build+query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_dir,
+        "turns_per_sec": turns_per_sec,
+        "p95_query_sec": p95,
+        "topk_median_sec": {k: round(v, 2) for k, v in topk_median.items()},
+        "batch_query_qps": batch_qps,
+        "ann_recall_at_10": ann_recall,
+        "wand_speedup": wand_regime.get("speedup"),
+        "cpus": detail["cpus"],
+        "detail_file": detail_path,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1400:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:24]
+        )
+        compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        compact["queries_trimmed_to_slowest"] = len(slowest)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
