@@ -105,7 +105,7 @@ def main() -> None:
         "term_stats", "postings_dump", "dedup_exact", "dedup_minhash",
         "dedup_lsh_pairs", "dedup_clusters", "dedup_simhash", "dedup_embedding",
         "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
-        "ann_ivf_topk",
+        "ann_lsh_enumerated", "ann_ivf_topk",
         "sample_stratified", "decontaminate",
         "text_token_counts", "text_quality", "text_lang_id",
         "text_fingerprint", "events_hourly", "streaming_events_hourly",
@@ -187,9 +187,68 @@ def main() -> None:
     # brute-force cosine top-k (same query vector, same exclusions)
     exact_ids = {r.vec_id for r in qmap["ann_cosine_topk"](spark, sf_dir).collect()}
     ann_recall = {}
-    for name in ("ann_lsh_topk", "ann_lsh_multiprobe", "ann_ivf_topk"):
+    for name in (
+        "ann_lsh_topk", "ann_lsh_multiprobe", "ann_lsh_enumerated",
+        "ann_ivf_topk",
+    ):
         approx_ids = {r.vec_id for r in qmap[name](spark, sf_dir).collect()}
         ann_recall[name] = round(len(exact_ids & approx_ids) / len(exact_ids), 3)
+
+    # --- ANN quality, planted-cluster geometry: the testdata embeddings
+    # are near-isotropic (where LSH theory predicts failure — SCALE.md
+    # §8); this fixture plants tight clusters, the regime where the
+    # bucketed paths shine. recall@10 averaged over 3 query clusters,
+    # plus the single-bucket scanned fraction.
+    def _clustered_recall():
+        from pyspark.sql import functions as F
+
+        from peterman_search_engine_spark.operators import similarity as SIM
+        from peterman_search_engine_spark.sources.clustered import (
+            clustered_embeddings,
+        )
+
+        C, M = 16, 64
+        emb = clustered_embeddings(
+            spark, n_clusters=C, per_cluster=M, n_noise=1024
+        ).localCheckpoint(eager=True)
+        n = emb.count()
+        withb = emb.withColumn(
+            "_b", SIM.bucket_expr(F.col("embedding"), 64)
+        ).localCheckpoint(eager=True)
+        rec = {"lsh_single": 0.0, "lsh_multiprobe_r1": 0.0, "ivf_p1": 0.0}
+        frac = 0.0
+        qcs = (0, 7, 12)
+        for c in qcs:
+            qid = C + c * M
+            qv = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+            ]
+            exact = {
+                r.vec_id
+                for r in SIM.cosine_topk(emb, qv, k=10, exclude_ids=[qid]).collect()
+            }
+            got = {
+                "lsh_single": SIM.lsh_bucketed_topk(emb, qv, k=10, exclude_ids=[qid]),
+                "lsh_multiprobe_r1": SIM.lsh_multiprobe_enumerated_topk(
+                    emb, qv, k=10, radius=1, exclude_ids=[qid]
+                ),
+                "ivf_p1": SIM.ivf_topk(
+                    emb, qv, k=10, n_cells=C, n_probe=1, exclude_ids=[qid]
+                ),
+            }
+            for name, df in got.items():
+                ids = {r.vec_id for r in df.collect()}
+                rec[name] += len(ids & exact) / len(exact)
+            qb = SIM.query_bucket(qv)
+            frac += withb.filter(F.col("_b") == qb).count() / n
+        out = {k: round(v / len(qcs), 3) for k, v in rec.items()}
+        out["single_bucket_scanned_fraction"] = round(frac / len(qcs), 4)
+        return out
+
+    t0 = time.perf_counter()
+    ann_recall_clustered = _clustered_recall()
+    timings["ann_clustered_recall"] = round(time.perf_counter() - t0, 4)
 
     # --- block-max WAND in its winning regime: rare-AND-common corpus
     # sized so the cost gate opens on SHIPPED statistics (sum df over
@@ -250,6 +309,7 @@ def main() -> None:
         },
         "batch_query_qps": batch_qps,
         "ann_recall_at_10": ann_recall,
+        "ann_recall_clustered": ann_recall_clustered,
         "wand_regime": wand_regime,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         "transcript_tier": tier,
@@ -281,6 +341,7 @@ def main() -> None:
         "topk_median_sec": {k: round(v, 2) for k, v in topk_median.items()},
         "batch_query_qps": batch_qps,
         "ann_recall_at_10": ann_recall,
+        "ann_recall_clustered": ann_recall_clustered,
         "wand_speedup": wand_regime.get("speedup"),
         "cpus": detail["cpus"],
         "detail_file": detail_path,

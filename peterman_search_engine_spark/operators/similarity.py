@@ -251,6 +251,40 @@ def ivf_cells(
     )
 
 
+def rank_cells(cent_rows, query_vec: list[float], *, vec_col: str = "cvec") -> list[tuple[int, int]]:
+    """Driver-side centroid ranking shared by the recompute and
+    persisted IVF probes: (-cos_e6, cid) ascending, i.e. best first.
+    cent_rows is the collected K-row codebook (cid, <vec_col>)."""
+    import math
+
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def _round_half_away(x: float) -> int:
+        # match Spark F.round / SQL ROUND (half away from zero), NOT
+        # Python's banker's rounding
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    return sorted(
+        (
+            (
+                -_round_half_away(
+                    1_000_000
+                    * float(np.dot(np.asarray(r[vec_col], dtype=np.float64), q))
+                    / (
+                        float(np.linalg.norm(np.asarray(r[vec_col], dtype=np.float64)))
+                        * qn
+                    )
+                ),
+                r["cid"],
+            )
+            for r in cent_rows
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -261,56 +295,105 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: list[int] | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: rank cells by centroid-to-query cosine (driver-side
     over the K-row codebook), scan the best ``n_probe`` cells only,
     exact cosine top-k within them. Returns (vec_id, cos double)
-    ordered by (-cos, vec_id)."""
-    import numpy as np
+    ordered by (-cos, vec_id).
 
-    cents = (
+    Pass ``cells`` (a persisted (vec_id, cell) table from
+    :func:`build_ivf`) to skip recomputing the assignment crossJoin per
+    query — the build-once path; see :func:`ivf_topk_persisted` for the
+    fully partition-pruned form over cell-partitioned storage."""
+    cent_rows = (
         embeddings.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col))
+        .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.sqrt((q * q).sum()))
-
-    def _round_half_away(x: float) -> int:
-        # match Spark F.round / SQL ROUND (half away from zero), NOT
-        # Python's banker's rounding
-        import math
-
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
-
-    ranked = sorted(
-        (
-            (
-                -_round_half_away(
-                    1_000_000
-                    * float(np.dot(np.asarray(r[vec_col], dtype=np.float64), q))
-                    / (float(np.linalg.norm(np.asarray(r[vec_col], dtype=np.float64))) * qn)
-                ),
-                r["cid"],
-            )
-            for r in cents
-        )
-    )
+    ranked = rank_cells(cent_rows, query_vec)
     probed = [cid for _, cid in ranked[:n_probe]]
-    cells = ivf_cells(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    if cells is None:
+        cells = ivf_cells(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     cand = cells.filter(F.col("cell").isin(probed)).select("vec_id")
     if exclude_ids:
         cand = cand.filter(~F.col("vec_id").isin(exclude_ids))
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    # join FIRST (vec_id + vector only), score the survivors: cosine is
+    # evaluated on the probed cells' rows, not the whole corpus
     return (
         embeddings.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            cosine(F.col(vec_col), qcol).alias("cos"),
+            F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v")
         )
         .join(cand, "vec_id")
+        .select("vec_id", cosine(F.col("_v"), qcol).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_ivf(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF structure once per corpus (the ANN analogue
+    of the index build — mirrors how WAND's block_meta is persisted):
+
+    * ``{path}/vectors`` — (vec_id, embedding) PARTITIONED BY cell, so
+      a probe reads only the ``n_probe`` matching directories
+      (PartitionFilters in the scan, nothing else touched);
+    * ``{path}/centroids`` — the K-row codebook the driver ranks.
+
+    At 100 TB this is the bucketed-write path the ivf_cells docstring
+    describes: assignment cost is paid ONCE at build (broadcast K-row
+    codebook, no vector shuffle beyond the partitioned write), and
+    every query is a partition-pruned scan."""
+    cells = ivf_cells(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        )
+        .join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    (
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF probe over a :func:`build_ivf` structure: centroid ranking
+    driver-side (K rows), then ONE scan of the ``n_probe`` matching
+    cell partitions (``cell IN (...)`` prunes directories — verify
+    with PartitionFilters in .explain). Returns (vec_id, cos double)
+    ordered by (-cos, vec_id)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    ranked = rank_cells(cent_rows, query_vec)
+    probed = [cid for _, cid in ranked[:n_probe]]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probed)
+    )
+    if exclude_ids:
+        vecs = vecs.filter(~F.col("vec_id").isin(exclude_ids))
+    return cosine_topk(vecs, query_vec, k=k)
 
 
 def lsh_multiprobe_topk(
@@ -353,3 +436,105 @@ def lsh_multiprobe_topk(
         with_b, query_vec, k=k, id_col=id_col, vec_col=vec_col,
         exclude_ids=exclude_ids,
     )
+
+
+def enumerate_probe_buckets(
+    qbucket: int, num_planes: int = NUM_PLANES, radius: int = 1
+) -> list[int]:
+    """All bucket ids within Hamming distance <= radius of the query
+    signature — C(planes, <=radius) ids, enumerated driver-side (pure
+    integer arithmetic, no Spark job). This turns the multi-probe
+    filter into ``bucket IN (...)``: on bucket-partitioned storage
+    that's directory-level partition pruning instead of a full-column
+    scan filter."""
+    from itertools import combinations
+
+    out: list[int] = []
+    for r in range(radius + 1):
+        for flips in combinations(range(num_planes), r):
+            mask = 0
+            for p in flips:
+                mask |= 1 << p
+            out.append(qbucket ^ mask)
+    return sorted(out)
+
+
+def lsh_multiprobe_enumerated_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    num_planes: int = NUM_PLANES,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Multi-probe LSH via explicit bucket-id enumeration: identical
+    result set to :func:`lsh_multiprobe_topk` at the same radius, but
+    the probe is an IN-list over the enumerated C(planes, <=radius)
+    bucket ids — the form that partition-prunes on bucket-partitioned
+    storage (:func:`build_lsh` + :func:`lsh_multiprobe_persisted`).
+    Returns (vec_id, cos double) ordered by (-cos, vec_id)."""
+    dim = len(query_vec)
+    probe = enumerate_probe_buckets(
+        query_bucket(query_vec, num_planes), num_planes, radius
+    )
+    with_b = embeddings.withColumn(
+        "_bucket", _bucket_expr(F.col(vec_col), dim, num_planes)
+    ).filter(F.col("_bucket").isin(probe))
+    return cosine_topk(
+        with_b, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    )
+
+
+def build_lsh(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    num_planes: int = NUM_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH structure once per corpus: (vec_id,
+    embedding) PARTITIONED BY bucket. A radius-r probe then reads only
+    the C(planes, <=r) matching directories — at 8 planes and r=1
+    that's 9/256 of the partitions instead of a 42%-selectivity scan
+    filter (the geometry SCALE.md §8 documents)."""
+    (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            _bucket_expr(F.col(vec_col), dim, num_planes).alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def lsh_multiprobe_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    num_planes: int = NUM_PLANES,
+    radius: int = 1,
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Multi-probe LSH over a :func:`build_lsh` structure: enumerate
+    the probe bucket ids driver-side, scan ONLY those partitions
+    (PartitionFilters in the scan), exact cosine top-k within.
+    Returns (vec_id, cos double) ordered by (-cos, vec_id)."""
+    probe = enumerate_probe_buckets(
+        query_bucket(query_vec, num_planes), num_planes, radius
+    )
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("bucket").isin(probe)
+    )
+    if exclude_ids:
+        vecs = vecs.filter(~F.col("vec_id").isin(exclude_ids))
+    return cosine_topk(vecs, query_vec, k=k)

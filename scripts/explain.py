@@ -171,6 +171,35 @@ def main() -> None:
         ["HashAggregate", "LeftSemi", "Filter"],
     ))
 
+    from peterman_search_engine_spark.operators import similarity as SIM
+    from peterman_search_engine_spark.sources.clustered import clustered_embeddings
+
+    emb = clustered_embeddings(spark, n_clusters=16, per_cluster=16, n_noise=64)
+    ann_dir = tempfile.mkdtemp(prefix="pse_explain_ann_")
+    SIM.build_ivf(emb, f"{ann_dir}/ivf", n_cells=16)
+    SIM.build_lsh(emb, f"{ann_dir}/lsh", dim=64)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 20).collect()[0]["embedding"]]
+    ivf_p = SIM.ivf_topk_persisted(spark, f"{ann_dir}/ivf", qv, k=10, n_probe=2)
+    sections.append((
+        "Persisted IVF probe — cell assignment paid at build "
+        "(build_ivf writes vectors PARTITIONED BY cell); the probe is "
+        "one scan whose PartitionFilters prune to the n_probe cell "
+        "directories, then exact cosine + bounded top-k",
+        formatted(ivf_p),
+        ["PartitionFilters", "cell#", "TakeOrderedAndProject"],
+    ))
+
+    lsh_p = SIM.lsh_multiprobe_persisted(spark, f"{ann_dir}/lsh", qv, k=10, radius=1)
+    sections.append((
+        "Persisted multi-probe LSH — bucket-id enumeration "
+        "(C(planes,<=r) ids computed driver-side) becomes "
+        "PartitionFilters over the bucket-partitioned vector table: "
+        "9 of 256 directories at radius 1 instead of a full-column "
+        "bit_count filter",
+        formatted(lsh_p),
+        ["PartitionFilters", "bucket#", "TakeOrderedAndProject"],
+    ))
+
     doc_stats = corpus.select("doc_id", F.size(tokens_expr("text")).alias("doc_len"))
     sections.append((
         "JVM doc-length pass — single columnar scan + projection; the "
