@@ -87,6 +87,21 @@ from .query import bm25_scores, top_k_df
 # the gate by orders of magnitude. Tunable per deployment.
 DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 
+# Second (planner-time) routing gate: once θ and the MaxScore split
+# are known — both metadata-cheap — the fraction of posting volume
+# held by ESSENTIAL terms predicts whether pruning can pay at all.
+# Candidate generation must decode essential terms' surviving blocks
+# and the rescore touches their segments, so when essential terms
+# carry most of Σdf (an all-common query where no term's max-score
+# prefix stays under θ) the pruned plan does ~exhaustive work PLUS
+# metadata/decode overhead. MEASURED on the all-common shape
+# (scripts/wand_regime.py --query-shape all_common at 26M docs,
+# BENCH/wand_regime_all_common.json): force-pruned loses ~0.5x vs
+# exhaustive at essential-df fraction 1.0, while the rare-AND-common
+# shapes at fraction ~0 win 2.7x — 0.5 splits those regimes with
+# margin on the exhaustive side (the cheap mistake).
+ESSENTIAL_DF_ROUTE_FRACTION = 0.5
+
 
 def _qtf(toks: list[str]) -> dict[str, int]:
     out: dict[str, int] = {}
@@ -304,6 +319,29 @@ def bm25_topk_wand(
         if ess or cum >= theta:
             ess.append(t)
 
+    # Planner-time routing on the essential-df fraction (see
+    # ESSENTIAL_DF_ROUTE_FRACTION): when the essential terms carry
+    # most of the posting volume, block pruning cannot win — decode +
+    # rescore approach the exhaustive scan and the metadata jobs are
+    # pure overhead. Route to the exhaustive plan; the planner spend
+    # so far is O(metadata) + one seed segment (~1/#segments of the
+    # corpus). force_prune bypasses (diagnostics / A-B evidence).
+    df_by_term = {r["term"]: int(r["df"]) for r in trows}
+    ess_df = sum(df_by_term[t] for t in ess)
+    if not force_prune and est and ess_df >= ESSENTIAL_DF_ROUTE_FRACTION * est:
+        res = bm25_topk_exhaustive(index, terms, k)
+        if return_stats:
+            return res, {
+                "gated_exhaustive": True,
+                "reason": "essential_df_fraction",
+                "est_entries": est,
+                "essential_df": ess_df,
+                "essential_df_fraction": round(ess_df / est, 4),
+                "theta": theta,
+                "essential_terms": sorted(ess),
+            }
+        return res
+
     # Per-block slack for the OTHER query terms: classic block-max
     # alignment — a doc in block b of term t can only draw term t''s
     # contribution from a t'-block whose doc range OVERLAPS b's, so the
@@ -414,6 +452,7 @@ def bm25_topk_wand(
         return final, {
             "theta": theta,
             "est_entries": est,
+            "essential_df_fraction": round(ess_df / est, 4) if est else 0.0,
             "seed_segments": seeds,
             "essential_terms": sorted(ess),
             "blocks_total_nonseed": n_blocks_total,

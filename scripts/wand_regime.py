@@ -65,6 +65,16 @@ def main() -> None:
     ap.add_argument("--rare-span", type=int, default=4_000_000,
                     help="rare docs span several segments so the prune "
                          "phase has real non-seed blocks to keep")
+    ap.add_argument("--query-shape", default="rare_common",
+                    choices=["rare_common", "two_rare", "all_common"],
+                    help="rare_common: [zq hot0..7] (the canonical web "
+                         "shape); two_rare: adds a second rare-ish term "
+                         "(a filler-vocabulary word, df ~n/5000) — shows "
+                         "the MaxScore split isn't tuned to ONE rare "
+                         "term; all_common: [hot0..7] only — every term "
+                         "essential, the shape where pruning CANNOT pay "
+                         "and the essential-df routing gate must send "
+                         "the query to the exhaustive plan")
     args = ap.parse_args()
 
     from peterman_search_engine_spark.operators.wand import (
@@ -114,17 +124,41 @@ def main() -> None:
         )
     build_sec = round(time.perf_counter() - t0, 2)
 
-    q = regime_query()
+    if args.query_shape == "rare_common":
+        q = regime_query()
+    elif args.query_shape == "two_rare":
+        # one filler-vocabulary word (each doc carries exactly one
+        # f0x* term, so df ~ n_docs/5000 — rare-ish, ~2.5x zq's df)
+        q = ["zq", "f0x123"] + [f"hot{j}" for j in range(8)]
+    else:  # all_common
+        q = [f"hot{j}" for j in range(8)]
 
-    # gate + prune audit (untimed): the shipped config must open the
-    # gate on its own statistics — a gated_exhaustive here means the
-    # regime is mis-sized and the A/B below would compare a plan to
-    # itself. With --force-prune the pruned plan is measured anyway
-    # (the below-gate diagnostic that grounds the gate constant).
+    # gate + prune audit (untimed). For the rare shapes the shipped
+    # config must open BOTH gates on its own statistics — a
+    # gated_exhaustive means the regime is mis-sized and the A/B below
+    # would compare a plan to itself. For all_common the CORRECT
+    # outcome is the opposite: the essential-df routing gate must send
+    # the query to the exhaustive plan (every term essential), and the
+    # A/B below (exhaustive vs FORCE-pruned) measures the loss that
+    # routing avoids. With --force-prune the pruned plan is measured
+    # anyway (the below-gate diagnostic that grounds the gate
+    # constants).
     _, stats = bm25_topk_wand(
         index, q, args.k, return_stats=True, force_prune=args.force_prune
     )
-    if stats.get("gated_exhaustive"):
+    gate_routed_exhaustive = bool(stats.get("gated_exhaustive"))
+    force_prune = args.force_prune
+    if args.query_shape == "all_common":
+        if not (gate_routed_exhaustive
+                and stats.get("reason") == "essential_df_fraction"):
+            raise SystemExit(
+                f"all_common must route via essential_df_fraction: {stats}"
+            )
+        force_prune = True  # measure the loss the routing avoids
+        _, stats = bm25_topk_wand(
+            index, q, args.k, return_stats=True, force_prune=True
+        )
+    elif gate_routed_exhaustive:
         raise SystemExit(f"gate did not open: {stats}")
 
     # correctness: pruned == exhaustive on this corpus. Mathematically
@@ -144,7 +178,7 @@ def main() -> None:
     ex = canon(bm25_topk_exhaustive(index, q, k_fetch).collect())
     pr = canon(
         bm25_topk_wand(
-            index, q, k_fetch, force_prune=args.force_prune
+            index, q, k_fetch, force_prune=force_prune
         ).collect()
     )
     assert ex == pr, (ex, pr)
@@ -152,7 +186,7 @@ def main() -> None:
     # one untimed warmup pair at the measured k (JIT + page cache),
     # then interleaved timed reps (host-interference protocol)
     bm25_topk_exhaustive(index, q, args.k).collect()
-    bm25_topk_wand(index, q, args.k, force_prune=args.force_prune).collect()
+    bm25_topk_wand(index, q, args.k, force_prune=force_prune).collect()
     e_secs, p_secs = [], []
     for _ in range(args.reps):
         t = time.perf_counter()
@@ -160,7 +194,7 @@ def main() -> None:
         e_secs.append(round(time.perf_counter() - t, 3))
         t = time.perf_counter()
         bm25_topk_wand(
-            index, q, args.k, force_prune=args.force_prune
+            index, q, args.k, force_prune=force_prune
         ).collect()
         p_secs.append(round(time.perf_counter() - t, 3))
 
@@ -171,7 +205,9 @@ def main() -> None:
     ).stdout.strip()
     out = {
         "n_docs": index.n_docs,
-        "force_prune": args.force_prune,
+        "query_shape": args.query_shape,
+        "force_prune": force_prune,
+        "gate_routed_exhaustive": gate_routed_exhaustive,
         "query": q,
         "k": args.k,
         "cpus": args.cpus,
@@ -185,9 +221,12 @@ def main() -> None:
         "results_match": True,
         "commit": commit,
     }
+    suffix = args.suffix
+    if not suffix and args.query_shape != "rare_common":
+        suffix = f"_{args.query_shape}"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(
-        os.path.join(REPO, "BENCH", f"wand_regime{args.suffix}.json"), "w"
+        os.path.join(REPO, "BENCH", f"wand_regime{suffix}.json"), "w"
     ) as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

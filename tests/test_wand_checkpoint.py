@@ -276,3 +276,60 @@ def test_wand_prunes_on_skewed_corpus(spark):
     want = bm25_topk_exhaustive(idx, ["rare", "common"], 10)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
     assert stats["prune_ratio"] > 0.3, stats
+
+
+def test_wand_essential_df_routing(spark):
+    """r4: the second (planner-time) gate. An all-common query — every
+    term essential, essential-df fraction ~1 — must route to the
+    exhaustive plan (pruning cannot pay: decode+rescore approach the
+    full scan); a rare-AND-common query on the same kind of corpus
+    keeps the pruned path (fraction ~0). force_prune bypasses the
+    route for diagnostics, with identical results."""
+    from pyspark.sql import functions as F
+
+    from peterman_search_engine_spark.operators.indexer import build_index
+    from peterman_search_engine_spark.operators.wand import (
+        bm25_topk_exhaustive,
+        bm25_topk_wand,
+    )
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta filler"),
+            F.when(F.col("id") % 3 == 0, F.lit(" alpha")).otherwise(F.lit("")),
+            F.when(
+                (F.col("id") >= 100) & (F.col("id") < 120),
+                F.concat_ws(" ", F.array_repeat(F.lit(" zrare"), 5)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    idx = build_index(docs, stem=False, positional=False, docs_per_segment=250)
+
+    # all-common: both terms in every doc -> routed exhaustive
+    res, stats = bm25_topk_wand(
+        idx, ["alpha", "beta"], 5, prune_min_entries=1, return_stats=True
+    )
+    assert stats.get("gated_exhaustive") is True
+    assert stats["reason"] == "essential_df_fraction"
+    assert stats["essential_df_fraction"] >= 0.5
+    base = bm25_topk_exhaustive(idx, ["alpha", "beta"], 5)
+    assert [tuple(r) for r in res.collect()] == [tuple(r) for r in base.collect()]
+
+    # force_prune bypasses the route, prunes nothing useful, but stays exact
+    res_f, stats_f = bm25_topk_wand(
+        idx, ["alpha", "beta"], 5, prune_min_entries=1, force_prune=True,
+        return_stats=True,
+    )
+    assert "blocks_decoded" in stats_f
+    assert [tuple(r) for r in res_f.collect()] == [tuple(r) for r in base.collect()]
+
+    # rare-AND-common on the same corpus: fraction ~0 -> pruned path taken
+    res_r, stats_r = bm25_topk_wand(
+        idx, ["zrare", "alpha"], 5, prune_min_entries=1, return_stats=True
+    )
+    assert not stats_r.get("gated_exhaustive"), stats_r
+    assert stats_r["essential_df_fraction"] < 0.5
+    base_r = bm25_topk_exhaustive(idx, ["zrare", "alpha"], 5)
+    assert [tuple(r) for r in res_r.collect()] == [tuple(r) for r in base_r.collect()]
