@@ -77,6 +77,32 @@ def persist_tombstones(index: InvertedIndex, store) -> None:
     store.write(index.tombstones, "tombstones")
 
 
+def renumber_segments(index: InvertedIndex) -> InvertedIndex:
+    """Densely renumber surviving segments to 0..n-1 in doc_id-range
+    order — what the reference's merge does implicitly when deleted-
+    empty segments vanish (the delete-and-rename commit,
+    ``InvertedIndexManager.java:1062-1131``, renames segment files to
+    close gaps; ``InvertedIndexDeletionTest.java:73,141,192`` counts
+    segments AFTER that renumbering). Metadata-sized: the mapping is
+    #segments rows computed with one distinct + window, broadcast back
+    onto the postings; no posting payload is rewritten."""
+    from pyspark.sql import Window
+
+    segs = index.postings.select("segment").distinct()
+    w = Window.orderBy("segment")
+    mapping = segs.select(
+        "segment", (F.row_number().over(w) - 1).cast("long").alias("_new")
+    )
+    cols = index.postings.columns
+    p = (
+        index.postings.join(F.broadcast(mapping), "segment")
+        .drop("segment")
+        .withColumnRenamed("_new", "segment")
+        .select(cols)
+    )
+    return dataclasses.replace(index, postings=p)
+
+
 def compact_deletes(
     index: InvertedIndex, *, block_size: int | None = None
 ) -> InvertedIndex:
