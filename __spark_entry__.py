@@ -942,6 +942,74 @@ def q_ann_lsh_multiprobe(spark, sf):
     )
 
 
+SPAN_TERMS = ["fast", "table"]
+SPAN_GAP = 3
+SPELL_TERM = "sparc"
+SPELL_DIST = 2
+SPELL_K = 5
+PRF_FB_DOCS = 5
+PRF_FB_TERMS = 5
+PRF_EXP_WEIGHT = 0.5
+UPSERT_MOD = 97
+UPSERT_SUFFIX = " zz7upd spark"
+UPSERT_TERMS = ["spark", "zz7upd"]
+
+
+def q_span_near(spark, sf):
+    """Ordered span-near (query.search_span_near, the Lucene
+    SpanNearQuery inOrder shape): terms in order, each consecutive
+    pair within SPAN_GAP positions — gap 1 would be the strict
+    phrase."""
+    return Q.search_span_near(_index(spark, sf), SPAN_TERMS, SPAN_GAP)
+
+
+def q_spell_correct(spark, sf):
+    """Did-you-mean (query.suggest_spelling): dictionary terms within
+    edit distance SPELL_DIST of a misspelling, (dist asc, df desc,
+    term asc) — one metadata-dictionary scan, postings untouched."""
+    return Q.suggest_spelling(
+        _index(spark, sf), SPELL_TERM, max_dist=SPELL_DIST, top_k=SPELL_K
+    )
+
+
+def q_prf_bm25(spark, sf):
+    """RM3 pseudo-relevance feedback (ranking.search_rm3): BM25 top-5
+    docs feed 5 expansion terms (exact-integer strength tf*score_e6),
+    re-ranked with the expanded weighted query."""
+    import peterman_search_engine_spark.operators.ranking as RKm
+
+    scored = RKm.search_rm3(
+        _index(spark, sf), _corpus(spark, sf), BM25_TERMS,
+        fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS,
+        exp_weight=PRF_EXP_WEIGHT, top_k=None,
+    )
+    return _ranked_e6(scored, TOP_K)
+
+
+def q_upsert_bm25(spark, sf):
+    """Upsert-reindex (maintenance.upsert_documents): docs with
+    doc_id % UPSERT_MOD == 0 get new text appended; the upserted index
+    must rank exactly like a fresh build on the updated corpus — the
+    query includes the marker term only the new versions contain."""
+    from peterman_search_engine_spark.operators.maintenance import (
+        upsert_documents,
+    )
+
+    key = ("upsert", id(spark), sf)
+    if key not in _INDEX_CACHE:
+        updated = (
+            _corpus(spark, sf)
+            .filter(F.col("doc_id") % UPSERT_MOD == 0)
+            .withColumn("text", F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)))
+        )
+        idx = upsert_documents(_index(spark, sf), updated, docs_per_segment=200)
+        idx.postings = idx.postings.localCheckpoint(eager=True)
+        idx.doc_stats = idx.doc_stats.localCheckpoint(eager=True)
+        idx.term_stats = idx.term_stats.localCheckpoint(eager=True)
+        _INDEX_CACHE[key] = idx
+    return _ranked_e6(Q.bm25_scores(_INDEX_CACHE[key], UPSERT_TERMS), TOP_K)
+
+
 LSH_ENUM_RADIUS = 1
 
 
@@ -1083,6 +1151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_lsh_enumerated": q_ann_lsh_enumerated,
+        "span_near_search": q_span_near,
+        "spell_correct": q_spell_correct,
+        "prf_bm25_topk": q_prf_bm25,
+        "upsert_bm25_topk": q_upsert_bm25,
         "bm25_page2": q_bm25_page2,
         "rank_eval": q_rank_eval,
     }
@@ -1202,6 +1274,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_enumerated": S.sql_ann_lsh_multiprobe(
             TOP_K, radius=LSH_ENUM_RADIUS
+        ),
+        "span_near_search": S.sql_span_near(SPAN_TERMS, SPAN_GAP),
+        "spell_correct": S.sql_spell_correct(SPELL_TERM, SPELL_DIST, SPELL_K),
+        "prf_bm25_topk": S.sql_rm3(
+            BM25_TERMS, TOP_K, fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS,
+            exp_weight=PRF_EXP_WEIGHT,
+        ),
+        "upsert_bm25_topk": S.sql_upsert_bm25(
+            UPSERT_TERMS, TOP_K, UPSERT_MOD, UPSERT_SUFFIX
         ),
         "bm25_page2": S.sql_bm25_page2(BM25_TERMS, TOP_K),
         "rank_eval": S.sql_rank_eval(BATCH_QUERIES, TOP_K),

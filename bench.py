@@ -115,6 +115,8 @@ def main() -> None:
         "bigram_pmi", "text_redact", "boolean_query", "streaming_sessionize",
         "lm_dirichlet_topk", "hybrid_rrf_topk", "regex_search",
         "text_repetition", "curation_pipeline", "bm25_page2", "rank_eval",
+        "span_near_search", "spell_correct", "prf_bm25_topk",
+        "upsert_bm25_topk",
     ]
     # index-build for the driver tables happens inside the first query;
     # time it separately so per-query numbers reflect query cost.

@@ -77,6 +77,90 @@ def persist_tombstones(index: InvertedIndex, store) -> None:
     store.write(index.tombstones, "tombstones")
 
 
+def upsert_documents(
+    index: InvertedIndex,
+    updated: DataFrame,
+    *,
+    docs_per_segment: int | None = None,
+    block_size: int | None = None,
+) -> InvertedIndex:
+    """Replace (or insert) documents by id — the operation the
+    reference has no path for at all (its segments are immutable and
+    ``deleteDocuments`` is a stub, IIM:483-484). ``updated`` is a
+    (doc_id, text) DataFrame of the NEW versions.
+
+    Semantics: the result answers every query exactly as an index
+    freshly built on the updated corpus (asserted in
+    tests/test_upsert.py) — doc_stats, n_docs, avg_len, df/cf are all
+    post-upsert exact, and both surviving and delta posting rows are
+    encoded with the ONE post-upsert global avg_len (so stored block
+    upper bounds stay sound for WAND).
+
+    Plan/scale: (1) exact post-upsert stats from one metadata-sized
+    union-aggregate; (2) tombstone + compact the old versions,
+    re-encoding with the new avg_len (one distributed pass, amortized
+    like segment-merge compaction); (3) build delta posting rows from
+    ONLY the updated texts (O(changed docs)); (4) union — duplicate
+    (segment, term) rows are a supported index shape (streaming
+    micro-batches create them), so no docID rebasing or segment
+    renumbering is needed. A deployment batching many small upserts
+    would skip (2) per batch (tombstones + stats drift, like
+    delete_documents) and compact on a schedule; this function is the
+    exact form."""
+    from ..functions.analysis import tokens_expr
+    from .indexer import postings_from_corpus
+
+    if docs_per_segment is None:
+        from .indexer import DEFAULT_DOCS_PER_SEGMENT
+
+        docs_per_segment = DEFAULT_DOCS_PER_SEGMENT
+    if block_size is None:
+        block_size = index.block_size
+
+    updated = updated.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ids = updated.select("doc_id").distinct()
+    upd_stats = updated.select(
+        "doc_id", F.size(tokens_expr("text")).alias("doc_len")
+    )
+    new_stats = index.doc_stats.join(ids, "doc_id", "left_anti").unionByName(
+        upd_stats
+    )
+    row = new_stats.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    n_docs, avg_len = int(row["n"]), float(row["avg"] or 0.0)
+
+    base = compact_deletes(
+        delete_documents(index, ids),
+        block_size=block_size,
+        encode_avg_len=avg_len,
+    )
+    delta = postings_from_corpus(
+        updated,
+        avg_len=avg_len,
+        stem=index.stem,
+        positional=index.positional,
+        docs_per_segment=docs_per_segment,
+        block_size=block_size,
+    )
+    postings = base.postings.unionByName(delta)
+    term_stats = postings.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    return InvertedIndex(
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=new_stats,
+        n_docs=n_docs,
+        avg_len=avg_len,
+        positional=index.positional,
+        stem=index.stem,
+        block_size=block_size,
+        block_meta=None,
+        tombstones=None,
+    )
+
+
 def renumber_segments(index: InvertedIndex) -> InvertedIndex:
     """Densely renumber surviving segments to 0..n-1 in doc_id-range
     order — what the reference's merge does implicitly when deleted-
@@ -104,7 +188,10 @@ def renumber_segments(index: InvertedIndex) -> InvertedIndex:
 
 
 def compact_deletes(
-    index: InvertedIndex, *, block_size: int | None = None
+    index: InvertedIndex,
+    *,
+    block_size: int | None = None,
+    encode_avg_len: float | None = None,
 ) -> InvertedIndex:
     """Physically apply tombstones: one distributed pass over postings.
 
@@ -117,7 +204,12 @@ def compact_deletes(
     position blobs with the POST-delete avg_len, so WAND bounds are
     fresh. Terms whose postings empty out vanish; df/cf/term_stats/
     doc_stats/N/avg_len are all recomputed. Returns a tombstone-free
-    index."""
+    index.
+
+    ``encode_avg_len`` overrides the avg_len used for blob/UB
+    re-encoding AND the returned index field (upsert_documents passes
+    the post-UPSERT global average so old and delta segments share one
+    consistent encoding); default is the post-delete average."""
     tomb = index.tombstones
     if tomb is None or not tomb.take(1):
         return dataclasses.replace(index, tombstones=None)
@@ -129,6 +221,8 @@ def compact_deletes(
         F.count("*").alias("n"), F.avg("doc_len").alias("avg")
     ).collect()[0]
     n_docs, avg_len = int(row["n"]), float(row["avg"] or 0.0)
+    if encode_avg_len is not None:
+        avg_len = float(encode_avg_len)
 
     p = index.postings
     if index.positional:

@@ -396,6 +396,80 @@ def search_proximity(
     )
 
 
+def search_span_near(
+    index: InvertedIndex, terms: list[str], max_gap: int
+) -> DataFrame:
+    """Ordered span-near (the Lucene ``SpanNearQuery(inOrder=true)``
+    shape; beyond-reference — the reference stops at strict phrase,
+    IIM:360-460): docs where the analyzed terms appear IN ORDER with
+    each consecutive pair at most ``max_gap`` positions apart
+    (``max_gap=1`` degenerates to the strict phrase). Duplicate terms
+    keep their order (each occurrence must advance).
+
+    Plan: exactly the phrase plan — candidates from doc_ids alone,
+    positions partial-decoded for candidates only — with the pos+j
+    offset test replaced by a nested ordered-window exists over JVM
+    array lambdas (no Python in the row path). Returns (doc_id)."""
+    if not index.positional:
+        raise ValueError("span-near search requires a positional index")
+    if max_gap < 1:
+        raise ValueError("max_gap must be >= 1")
+    toks = _analyzed(index, terms)
+    spark = index.postings.sparkSession
+    if len(toks) < 2:
+        # degenerate: single surviving term -> plain containment
+        return _docs_for_terms(index, toks)
+    per_term = _per_term_positions(index, sorted(set(toks)))
+    parts = []
+    for j, t in enumerate(toks):
+        parts.append(
+            per_term.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{j}")
+            )
+        )
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+
+    def _chain(j: int, prev: Column) -> Column:
+        if j == len(toks):
+            return F.lit(True)
+        return F.exists(
+            F.col(f"p{j}"),
+            lambda q: (q > prev) & (q <= prev + F.lit(int(max_gap)))
+            & _chain(j + 1, q),
+        )
+
+    cond = F.exists(F.col("p0"), lambda p0: _chain(1, p0))
+    return _live(index, joined.filter(cond).select("doc_id"))
+
+
+def suggest_spelling(
+    index: InvertedIndex, term: str, *, max_dist: int = 2, top_k: int = 5
+) -> DataFrame:
+    """Did-you-mean spelling correction (beyond-reference, the Lucene
+    DirectSpellChecker shape): the top-k dictionary terms within
+    Levenshtein distance ``max_dist`` of the lowercased query term,
+    ranked by (distance asc, df desc, term asc) — closest first,
+    popularity breaks ties. The query term itself is excluded (a
+    correctly-spelled word suggests alternatives, not itself) and, like
+    all surface-form queries, never stemmed.
+
+    Plan: ONE scan of the metadata-sized term_stats dictionary with a
+    JVM levenshtein projection + TakeOrderedAndProject; postings are
+    never touched. Returns (term, df, dist)."""
+    q = term.strip().lower()
+    spark = index.postings.sparkSession
+    if not q:
+        return spark.createDataFrame([], "term string, df long, dist int")
+    return (
+        index.term_stats
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter((F.col("dist") <= max_dist) & (F.col("term") != q))
+        .select("term", "df", "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(top_k)
+    )
+
+
 def _phrase_positions_partial_decode(p: DataFrame, toks: list[str]) -> DataFrame:
     """(term, doc_id, positions) for CANDIDATE docs only: AND-intersect
     on doc_ids, slice each candidate's position bytes out of pos_blob
@@ -516,27 +590,26 @@ def search_tfidf(index: InvertedIndex, terms: list[str], top_k: int | None) -> D
 
 # -- BM25 (the rebuild's primary ranker) ---------------------------------------
 
-def bm25_scores(index: InvertedIndex, terms: list[str]) -> DataFrame:
-    """BM25 with k1=1.2, b=0.75; idf = ln(1+(N-df+.5)/(df+.5)); query
-    term multiplicity multiplies the contribution (consistent with the
-    reference's query-tf treatment, IIM:674-677).
-    Returns (doc_id, score)."""
-    toks = _analyzed(index, terms)
+def bm25_scores_weighted(
+    index: InvertedIndex, weights: dict[str, float]
+) -> DataFrame:
+    """BM25 over ALREADY-ANALYZED terms with explicit per-term query
+    weights (the general form: plain queries use integer query-tf,
+    relevance-feedback expansion uses fractional weights). k1=1.2,
+    b=0.75; idf = ln(1+(N-df+.5)/(df+.5)). Returns (doc_id, score)."""
     spark = index.postings.sparkSession
-    if not toks:
+    if not weights:
         return spark.createDataFrame([], "doc_id long, score double")
-    qtf: dict[str, int] = {}
-    for t in toks:
-        qtf[t] = qtf.get(t, 0) + 1
     qdf = spark.createDataFrame(
-        [(t, float(n)) for t, n in sorted(qtf.items())], "term string, qtf double"
+        [(t, float(w)) for t, w in sorted(weights.items())],
+        "term string, qtf double",
     )
     idf = (
         index.term_stats.join(F.broadcast(qdf), "term")
         .withColumn("idf", index.bm25_idf_col())
         .select("term", "qtf", "idf")
     )
-    p = _postings_for(index, list(qtf))
+    p = _postings_for(index, list(weights))
     hits = p.select(
         "term", F.explode(F.arrays_zip("doc_ids", "tfs")).alias("_z")
     ).select(
@@ -556,6 +629,18 @@ def bm25_scores(index: InvertedIndex, terms: list[str]) -> DataFrame:
         .agg(F.sum("_c").alias("score"))
         .select("doc_id", "score"),
     )
+
+
+def bm25_scores(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """BM25 with k1=1.2, b=0.75; idf = ln(1+(N-df+.5)/(df+.5)); query
+    term multiplicity multiplies the contribution (consistent with the
+    reference's query-tf treatment, IIM:674-677).
+    Returns (doc_id, score)."""
+    toks = _analyzed(index, terms)
+    qtf: dict[str, float] = {}
+    for t in toks:
+        qtf[t] = qtf.get(t, 0.0) + 1.0
+    return bm25_scores_weighted(index, qtf)
 
 
 def search_bm25(index: InvertedIndex, terms: list[str], top_k: int | None) -> DataFrame:

@@ -202,6 +202,79 @@ def more_like_this(
     return top_k_df(scored, top_k)
 
 
+def search_rm3(
+    index: InvertedIndex,
+    corpus: DataFrame,
+    terms: list[str],
+    *,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    exp_weight: float = 0.5,
+    top_k: int | None = 10,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 shape of
+    Lavrenko & Croft's relevance models, SIGIR 2001, as popularized by
+    Lucene/Anserini's rm3 rerank): run BM25, take the top ``fb_docs``
+    documents as pseudo-relevant, pick the ``fb_terms`` strongest
+    non-query terms from them, and re-rank with the expanded weighted
+    query (original terms weight 1.0, expansion terms ``exp_weight``).
+
+    Determinism contract (mirrored by the SQL oracle): feedback docs
+    are selected on (e6-rounded score desc, doc_id asc); expansion-term
+    strength is Σ_fb-docs tf(t, d) · score_e6(d) — an exact INTEGER, so
+    engine and oracle select identical terms; expansion terms order by
+    (strength desc, term asc).
+
+    Plan/scale: stage 1 is the ordinary BM25 top-k
+    (TakeOrderedAndProject); the feedback profile tokenizes ``fb_docs``
+    documents (a doc_id-pushdown point scan of the corpus, O(fb_docs)
+    rows); driver state is O(fb_docs + fb_terms) planner rows; stage 2
+    is one more posting-IN-scan with |q| + fb_terms terms. Two passes
+    over postings total — the textbook PRF cost. Returns
+    (doc_id, score)."""
+    from .indexer import tokenize_corpus
+    from .query import bm25_scores, bm25_scores_weighted
+
+    spark = corpus.sparkSession
+    toks = _analyzed(index, terms)
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double")
+    fb_rows = (
+        bm25_scores(index, terms)
+        .withColumn("score_e6", F.round(F.col("score") * 1_000_000).cast("long"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(fb_docs)
+        .collect()
+    )
+    if not fb_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    fb = spark.createDataFrame(
+        [(r["doc_id"], r["score_e6"]) for r in fb_rows],
+        "doc_id long, score_e6 long",
+    )
+    fb_ids = [r["doc_id"] for r in fb_rows]
+    orig = set(toks)
+    strength = (
+        tokenize_corpus(corpus.filter(F.col("doc_id").isin(fb_ids)), stem=index.stem)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(sorted(orig)))
+        .groupBy("term")
+        .agg(F.sum(F.col("tf") * F.col("score_e6")).alias("strength"))
+        .orderBy(F.desc("strength"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    exp_terms = [r["term"] for r in strength.collect()]  # O(fb_terms)
+    weights: dict[str, float] = {}
+    for t in toks:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    for t in exp_terms:
+        weights[t] = weights.get(t, 0.0) + float(exp_weight)
+    return top_k_df(bm25_scores_weighted(index, weights), top_k)
+
+
 # -- LM-Dirichlet (query-likelihood language model) ---------------------------
 
 MU = 1000.0

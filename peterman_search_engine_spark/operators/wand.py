@@ -92,15 +92,18 @@ DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 # held by ESSENTIAL terms predicts whether pruning can pay at all.
 # Candidate generation must decode essential terms' surviving blocks
 # and the rescore touches their segments, so when essential terms
-# carry most of Σdf (an all-common query where no term's max-score
-# prefix stays under θ) the pruned plan does ~exhaustive work PLUS
-# metadata/decode overhead. MEASURED on the all-common shape
-# (scripts/wand_regime.py --query-shape all_common at 26M docs,
-# BENCH/wand_regime_all_common.json): force-pruned loses ~0.5x vs
-# exhaustive at essential-df fraction 1.0, while the rare-AND-common
-# shapes at fraction ~0 win 2.7x — 0.5 splits those regimes with
-# margin on the exhaustive side (the cheap mistake).
-ESSENTIAL_DF_ROUTE_FRACTION = 0.5
+# carry much of Σdf the pruned plan approaches exhaustive work PLUS
+# metadata/decode overhead. MEASURED at 26M docs, quiet host,
+# interleaved reps (scripts/wand_regime.py --query-shape ...):
+# fraction ~0.0001 (rare shapes) pruned WINS 1.65x
+# (BENCH/wand_regime_two_rare.json); fraction 0.4999 (all-common,
+# MaxScore still marks 4 of 8 hot terms non-essential, prune_ratio
+# 0.50) pruned LOSES 0.69x (BENCH/wand_regime_all_common.json).
+# Fitting pruned/exhaustive ≈ 0.57 + 1.76·fraction to the two points
+# puts break-even at fraction ~0.24; 0.25 routes the losing regime to
+# the exhaustive plan with the mistake-side margin on exhaustive (the
+# cheap mistake).
+ESSENTIAL_DF_ROUTE_FRACTION = 0.25
 
 
 def _qtf(toks: list[str]) -> dict[str, int]:

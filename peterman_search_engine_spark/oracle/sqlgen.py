@@ -24,13 +24,17 @@ STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 # docs_where restricts the corpus (compacted-index oracles).
 
 
-def make_toks_cte(docs_where: str | None = None) -> str:
+def make_toks_cte(
+    docs_where: str | None = None, text_expr: str = "text"
+) -> str:
+    """``text_expr`` substitutes a SQL expression for the raw text
+    column (the upsert oracle tokenizes the UPDATED text in place)."""
     w = f" WHERE {docs_where}" if docs_where else ""
     return f"""
 raw AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(text), '[\\s,.;?!]+')) AS tok,
-         generate_subscripts(regexp_split_to_array(lower(text), '[\\s,.;?!]+'), 1) AS ord
+         unnest(regexp_split_to_array(lower({text_expr}), '[\\s,.;?!]+')) AS tok,
+         generate_subscripts(regexp_split_to_array(lower({text_expr}), '[\\s,.;?!]+'), 1) AS ord
   FROM documents{w}
 ),
 toks AS (
@@ -1325,3 +1329,104 @@ SELECT nrel.qid, nrel.n_rel,
 FROM nrel LEFT JOIN hit ON hit.qid = nrel.qid
 LEFT JOIN idcg ON idcg.qid = nrel.qid
 ORDER BY nrel.qid"""
+
+
+def sql_span_near(terms: list[str], max_gap: int) -> str:
+    """Ordered span-near oracle (query.search_span_near): join chain
+    requiring each term's position to follow the previous one by at
+    most max_gap."""
+    esc = [t.replace("'", "''") for t in terms]
+    joins, conds = [], [f"t0.tok = '{esc[0]}'"]
+    for j in range(1, len(terms)):
+        joins.append(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id"
+            f" AND t{j}.pos > t{j-1}.pos"
+            f" AND t{j}.pos <= t{j-1}.pos + {int(max_gap)}"
+        )
+        conds.append(f"t{j}.tok = '{esc[j]}'")
+    return f"""WITH {TOKS_CTE}
+SELECT DISTINCT t0.doc_id AS doc_id
+FROM toks t0 {' '.join(joins)}
+WHERE {' AND '.join(conds)}
+ORDER BY doc_id"""
+
+
+def sql_spell_correct(term: str, max_dist: int, k: int) -> str:
+    """Did-you-mean oracle (query.suggest_spelling): dictionary terms
+    by (levenshtein asc, df desc, term asc); the query term itself is
+    excluded."""
+    q = term.strip().lower().replace("'", "''")
+    return f"""WITH {TOKS_CTE},
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+SELECT tok AS term, df,
+       CAST(levenshtein(tok, '{q}') AS INTEGER) AS dist
+FROM df
+WHERE levenshtein(tok, '{q}') <= {int(max_dist)} AND tok <> '{q}'
+ORDER BY dist ASC, df DESC, term ASC LIMIT {int(k)}"""
+
+
+def _bm25_scored_cte(qname: str, k1: float = 1.2, b: float = 0.75) -> str:
+    """The shared BM25 scoring body over (tf, df, dl, n) CTEs and a
+    query-weight relation ``qname(term, qtf)``."""
+    return f"""
+  SELECT tf.doc_id,
+         sum({qname}.qtf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / n.avglen))) AS score
+  FROM tf JOIN {qname} ON tf.tok = {qname}.term
+          JOIN df ON df.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id, n
+  GROUP BY tf.doc_id"""
+
+
+def sql_rm3(
+    terms: list[str],
+    k: int,
+    *,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    exp_weight: float = 0.5,
+) -> str:
+    """RM3 pseudo-relevance feedback oracle (ranking.search_rm3):
+    stage-1 BM25 selects fb_docs on the e6-rounded score; expansion
+    strength is the exact integer sum(tf * score_e6); the expanded
+    weighted query re-ranks."""
+    orig = ", ".join(f"'{t.replace(chr(39), chr(39)*2)}'" for t in sorted(set(terms)))
+    return f"""WITH {TOKS_CTE}, {DL_CTE},
+q0(term, qtf) AS (VALUES {_qtf_values(terms)}),
+n AS (SELECT count(*) AS n, (SELECT avg(len) FROM dl) AS avglen FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+s0 AS ({_bm25_scored_cte('q0')}
+),
+fb AS (
+  SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+  FROM s0 ORDER BY score_e6 DESC, doc_id LIMIT {int(fb_docs)}
+),
+strength AS (
+  SELECT tf.tok, sum(tf.tf * fb.score_e6) AS s
+  FROM tf JOIN fb USING (doc_id)
+  WHERE tf.tok NOT IN ({orig})
+  GROUP BY tf.tok
+),
+expt AS (SELECT tok FROM strength ORDER BY s DESC, tok LIMIT {int(fb_terms)}),
+q1(term, qtf) AS (
+  SELECT term, qtf FROM q0
+  UNION ALL SELECT tok, {float(exp_weight)} FROM expt
+),
+s1 AS ({_bm25_scored_cte('q1')}
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM s1 ORDER BY score_e6 DESC, doc_id LIMIT {int(k)}"""
+
+
+def sql_upsert_bm25(terms: list[str], k: int, mod: int, suffix: str) -> str:
+    """BM25 oracle over the UPSERTED corpus (maintenance.
+    upsert_documents): docs with doc_id % mod == 0 get ``suffix``
+    appended to their text; tokenization, doc lengths and statistics
+    all read the updated text in place."""
+    sfx = suffix.replace("'", "''")
+    text_expr = (
+        f"CASE WHEN doc_id % {int(mod)} = 0 THEN text || '{sfx}' ELSE text END"
+    )
+    return sql_bm25(terms, k, toks_cte=make_toks_cte(text_expr=text_expr))

@@ -149,15 +149,19 @@ def main() -> None:
     gate_routed_exhaustive = bool(stats.get("gated_exhaustive"))
     force_prune = args.force_prune
     if args.query_shape == "all_common":
-        if not (gate_routed_exhaustive
-                and stats.get("reason") == "essential_df_fraction"):
-            raise SystemExit(
-                f"all_common must route via essential_df_fraction: {stats}"
+        # the interesting outcome IS the routing decision + the A/B at
+        # this shape: if the essential-df gate routed exhaustive,
+        # force-prune the measured leg to record the loss the routing
+        # avoided; if MaxScore found enough non-essential mass to stay
+        # under the route threshold, measure the pruned path naturally
+        # and let the speedup ground the threshold constant.
+        if gate_routed_exhaustive:
+            if stats.get("reason") != "essential_df_fraction":
+                raise SystemExit(f"unexpected gate reason: {stats}")
+            force_prune = True  # measure the loss the routing avoids
+            _, stats = bm25_topk_wand(
+                index, q, args.k, return_stats=True, force_prune=True
             )
-        force_prune = True  # measure the loss the routing avoids
-        _, stats = bm25_topk_wand(
-            index, q, args.k, return_stats=True, force_prune=True
-        )
     elif gate_routed_exhaustive:
         raise SystemExit(f"gate did not open: {stats}")
 
