@@ -6,9 +6,11 @@
 Modes: and, or, phrase, tfidf, bm25, wand (block-max-pruned BM25),
 bm25f (fielded), fuzzy, wildcard, suggest, lm (LM-Dirichlet),
 regex (whole-term dictionary regex), bool (full query string —
-quote it: --mode bool '(spark AND merge) OR wind*').
+quote it: --mode bool '(spark AND merge) OR wind*'), span (ordered
+span-near, --gap positions between consecutive terms), spell
+(did-you-mean over the dictionary).
 Prints one JSON line with the result rows and, for wand, the pruning
-stats.
+stats (incl. the cost-gate / essential-df routing decision).
 """
 
 from __future__ import annotations
@@ -27,8 +29,10 @@ def main() -> None:
     ap.add_argument("--mode", default="bm25",
                     choices=["and", "or", "phrase", "tfidf", "bm25", "wand",
                              "bm25f", "fuzzy", "wildcard", "suggest", "bool",
-                             "lm", "regex"])
+                             "lm", "regex", "span", "spell"])
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--gap", type=int, default=3,
+                    help="span mode: max positions between consecutive terms")
     ap.add_argument("--master", default=None)
     ap.add_argument("terms", nargs="+")
     args = ap.parse_args()
@@ -75,6 +79,10 @@ def main() -> None:
         df = search_lm_dirichlet(idx, args.terms, args.k)
     elif args.mode == "regex":
         df = Q.search_regex(idx, args.terms[0], args.k)
+    elif args.mode == "span":
+        df = Q.search_span_near(idx, args.terms, args.gap)
+    elif args.mode == "spell":
+        df = Q.suggest_spelling(idx, args.terms[0], top_k=args.k)
     else:
         df, stats = bm25_topk_wand(idx, args.terms, args.k, return_stats=True)
 
