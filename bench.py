@@ -266,16 +266,32 @@ def main() -> None:
 
         n_docs = os.environ.get("PSE_WAND_REGIME_DOCS", "26000000")
         env = dict(os.environ, PSE_DRIVER_MEM="32g")
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "scripts", "wand_regime.py"),
-                "--n-docs", n_docs, "--reps", "3", "--cpus", cpus,
-                "--work-dir", "/tmp/pse_bench_wand_regime",
-            ],
-            env=env, capture_output=True, text=True, timeout=3600,
+        work_dir = os.environ.get(
+            "PSE_WAND_REGIME_DIR", "/tmp/pse_bench_wand_regime"
         )
+        cmd = [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "wand_regime.py"),
+            "--n-docs", n_docs, "--reps", "3", "--cpus", cpus,
+            "--work-dir", work_dir,
+            # reuse a prior build when present: the 26M build is ~9 min
+            # and identical across runs (deterministic generator), and
+            # skipping it shrinks the window where this 32g subprocess
+            # and the bench session compete for host memory
+            "--keep",
+        ]
+        proc = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=3600,
+        )
+        if proc.returncode != 0:
+            # one retry: the co-resident bench session + the 32g
+            # subprocess can transiently kill an executor at the 26M
+            # exhaustive peak; the rebuilt/kept index makes the retry
+            # cheap and the measurement protocol is unchanged
+            proc = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=3600,
+            )
         if proc.returncode != 0:
             return {"error": proc.stderr[-500:]}
         out = json.loads(proc.stdout.strip().splitlines()[-1])

@@ -80,11 +80,13 @@ from .query import bm25_scores, top_k_df
 # at Σdf = 1.04e7 exhaustive wins 3.4 s vs 8.3 s pruned (the pruned
 # plan's fixed job overhead dominates when the exhaustive scan is
 # already cheap — BENCH/wand_regime_below_gate.json); at Σdf = 1.04e8
-# pruned wins 14.9 s vs 40.1 s, 2.7x (BENCH/wand_regime.json, commit
-# a1481c9). Fitting wall = fixed + slope·Σdf to both plans puts the
-# crossover at ~2.6e7 entries; 3e7 adds margin on the exhaustive side
-# (the cheap mistake). At 10^12-turn scale any non-rare term clears
-# the gate by orders of magnitude. Tunable per deployment.
+# pruned wins 14.5 s vs 21.8 s on 7-rep medians, 1.5x — single-pass
+# runs ranged 1.35-2.95x with host phases (BENCH/wand_regime.json,
+# commit 8c749a6). Fitting wall = fixed + slope·Σdf to both plans
+# puts the crossover at ~2.6e7 entries; 3e7 adds margin on the
+# exhaustive side (the cheap mistake). At 10^12-turn scale any
+# non-rare term clears the gate by orders of magnitude. Tunable per
+# deployment.
 DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 
 # Second (planner-time) routing gate: once θ and the MaxScore split
@@ -99,11 +101,13 @@ DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 # (BENCH/wand_regime_two_rare.json); fraction 0.4999 (all-common,
 # MaxScore still marks 4 of 8 hot terms non-essential, prune_ratio
 # 0.50) pruned LOSES 0.69x (BENCH/wand_regime_all_common.json).
-# Fitting pruned/exhaustive ≈ 0.57 + 1.76·fraction to the two points
-# puts break-even at fraction ~0.24; 0.25 routes the losing regime to
-# the exhaustive plan with the mistake-side margin on exhaustive (the
-# cheap mistake).
-ESSENTIAL_DF_ROUTE_FRACTION = 0.25
+# At fraction ~0 the 7-rep medians are pruned 14.5 s vs exhaustive
+# 21.8 s (ratio 0.67; single-pass runs ranged 1.35x-2.95x with host
+# phases). Fitting pruned/exhaustive ≈ 0.67 + 1.57·fraction to the
+# two points puts break-even at fraction ~0.21; 0.20 routes the
+# losing regime to the exhaustive plan with the mistake-side margin
+# on exhaustive (the cheap mistake).
+ESSENTIAL_DF_ROUTE_FRACTION = 0.20
 
 
 def _qtf(toks: list[str]) -> dict[str, int]:

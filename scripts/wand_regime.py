@@ -12,7 +12,9 @@ measures both plans interleaved (E,P,E,P,...) per the
 host-interference protocol in BENCH/BASELINE.md.
 
 The gate constant itself is grounded by TWO sizes of this study:
-26M docs (pruned wins 2.7x, BENCH/wand_regime.json) and 2.6M docs
+26M docs (pruned wins 1.5x on 7-rep medians, 1.35-2.95x across
+single-pass runs as host phases move the exhaustive leg —
+BENCH/wand_regime.json) and 2.6M docs
 (pruned loses 0.41x — BENCH/wand_regime_below_gate.json, gathered
 with ``--n-docs 2600000 --rare-every 250 --rare-span 500000`` when
 the gate default was still 1e7, so both plans ran without
