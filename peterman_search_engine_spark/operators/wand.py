@@ -80,13 +80,14 @@ from .query import bm25_scores, top_k_df
 # at Σdf = 1.04e7 exhaustive wins 3.4 s vs 8.3 s pruned (the pruned
 # plan's fixed job overhead dominates when the exhaustive scan is
 # already cheap — BENCH/wand_regime_below_gate.json); at Σdf = 1.04e8
-# pruned wins 14.5 s vs 21.8 s on 7-rep medians, 1.5x — single-pass
-# runs ranged 1.35-2.95x with host phases (BENCH/wand_regime.json,
-# commit 8c749a6). Fitting wall = fixed + slope·Σdf to both plans
-# puts the crossover at ~2.6e7 entries; 3e7 adds margin on the
-# exhaustive side (the cheap mistake). At 10^12-turn scale any
-# non-rare term clears the gate by orders of magnitude. Tunable per
-# deployment.
+# pruned wins in EVERY r4 pass — 1.24x to 3.6x across five clean
+# passes as host phases swing the exhaustive leg 19-81 s while pruned
+# stays 10-20 s typical (BENCH/wand_regime.json holds the last 7-rep
+# pass; BENCH/bench_detail.json the in-bench pass). Fitting
+# wall = fixed + slope·Σdf to both plans puts the crossover at
+# ~2.6e7 entries; 3e7 adds margin on the exhaustive side (the cheap
+# mistake). At 10^12-turn scale any non-rare term clears the gate by
+# orders of magnitude. Tunable per deployment.
 DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 
 # Second (planner-time) routing gate: once θ and the MaxScore split
@@ -101,12 +102,13 @@ DEFAULT_PRUNE_MIN_ENTRIES = 30_000_000
 # (BENCH/wand_regime_two_rare.json); fraction 0.4999 (all-common,
 # MaxScore still marks 4 of 8 hot terms non-essential, prune_ratio
 # 0.50) pruned LOSES 0.69x (BENCH/wand_regime_all_common.json).
-# At fraction ~0 the 7-rep medians are pruned 14.5 s vs exhaustive
-# 21.8 s (ratio 0.67; single-pass runs ranged 1.35x-2.95x with host
-# phases). Fitting pruned/exhaustive ≈ 0.67 + 1.57·fraction to the
-# two points puts break-even at fraction ~0.21; 0.20 routes the
-# losing regime to the exhaustive plan with the mistake-side margin
-# on exhaustive (the cheap mistake).
+# At fraction ~0 pruned/exhaustive measured 0.28-0.81 across five
+# clean passes (host phases; pruned wins every pass); at fraction
+# 0.4999 it measured 1.45 (the 0.69x loss). Two-point fits over that
+# range put break-even between ~0.12 and ~0.35; 0.20 sits in the
+# band with the mistake-side margin toward exhaustive (the cheap
+# mistake — routing exhaustive when pruning would have won a little
+# costs far less than the reverse).
 ESSENTIAL_DF_ROUTE_FRACTION = 0.20
 
 

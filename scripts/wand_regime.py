@@ -12,8 +12,8 @@ measures both plans interleaved (E,P,E,P,...) per the
 host-interference protocol in BENCH/BASELINE.md.
 
 The gate constant itself is grounded by TWO sizes of this study:
-26M docs (pruned wins 1.5x on 7-rep medians, 1.35-2.95x across
-single-pass runs as host phases move the exhaustive leg —
+26M docs (pruned wins every pass, 1.24-3.6x across five clean r4
+passes as host phases move the exhaustive leg 19-81 s —
 BENCH/wand_regime.json) and 2.6M docs
 (pruned loses 0.41x — BENCH/wand_regime_below_gate.json, gathered
 with ``--n-docs 2600000 --rare-every 250 --rare-span 500000`` when
