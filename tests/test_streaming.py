@@ -240,3 +240,92 @@ def test_streaming_ingest_never_rescans_prior_groups(spark, split_input, tmp_pat
         index_dir, 1, stem=False, positional=False, docs_per_segment=200,
     )
     assert os.path.exists(os.path.join(index_dir, "_manifest", "batch_1.json"))
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Late-data semantics of the watermarked windowed aggregation (the
+    streaming_events_hourly shape, APPEND mode, four mtime-ordered
+    micro-batches): a late event arriving AFTER its window's state was
+    evicted is dropped (`numRowsDroppedByWatermark`), the finalized
+    window is emitted WITHOUT it, and unfinalized windows are not
+    emitted. The staging pins down the version-accurate timing: the
+    watermark computed from batch N's data takes effect in batch N+1,
+    eviction happens at batch END, and a late row that reaches a
+    still-live window is still merged — so the drop needs the late row
+    two batches after the watermark-advancing event. A batch
+    aggregation over the same rows counts the late event — the
+    difference IS the watermark."""
+    import glob
+    import shutil
+    import time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned epoch s
+    h = 3600
+
+    def _write(path, rows):
+        spark.createDataFrame(rows, "event_id long, ts_s long").select(
+            "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # b1: two on-time hour-0 events; b2: a far event that advances the
+    # watermark past hour-0's end (in force from the NEXT batch); b3:
+    # the batch where hour-0 is evicted + emitted; b4: the LATE hour-0
+    # event (state gone -> dropped) + one more unfinalized-window event
+    _write(str(tmp_path / "b1"), [(0, base), (1, base + 1800)])
+    _write(str(tmp_path / "b2"), [(2, base + 3 * h)])
+    _write(str(tmp_path / "b3"), [(3, base + 3 * h + 60)])
+    _write(str(tmp_path / "b4"), [(4, base + 2700), (5, base + 3 * h + 120)])
+    for i, sub in enumerate(["b1", "b2", "b3", "b4"]):
+        f = glob.glob(str(tmp_path / sub / "*.parquet"))[0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(f, dst)
+        t = time.time() + i * 10  # mtime order == batch order
+        os.utime(dst, (t, t))
+
+    schema = spark.read.parquet(os.path.join(src, "00.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pse_late_test")
+        .outputMode("append")  # only FINALIZED windows are emitted
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        int(r["window"]["start"].timestamp()): r["n"]
+        for r in spark.table("pse_late_test").collect()
+    }
+    # hour-0 finalized with the two on-time events only; the hour-3
+    # window never finalized (watermark never passed its end)
+    assert out == {base: 2}
+    # the drop is observable in the progress metrics
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    # control: batch aggregation over the same rows counts the late one
+    batch = {
+        int(r["window"]["start"].timestamp()): r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert batch[base] == 3
