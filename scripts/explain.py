@@ -171,6 +171,16 @@ def main() -> None:
         ["HashAggregate", "LeftSemi", "Filter"],
     ))
 
+    span = Q.search_span_near(idx, ["spark", "merge"], 3)
+    sections.append((
+        "Ordered span-near — the phrase partial-decode plan (candidate "
+        "docs from doc_ids alone, per-candidate position slices into "
+        "one Arrow decode) with a nested ordered-window exists as the "
+        "final JVM filter; postings keep the term-IN parquet pushdown",
+        formatted(span),
+        ["PushedFilters", "ArrowEvalPython", "HashAggregate"],
+    ))
+
     from peterman_search_engine_spark.operators import similarity as SIM
     from peterman_search_engine_spark.sources.clustered import clustered_embeddings
 
