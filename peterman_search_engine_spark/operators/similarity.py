@@ -417,8 +417,11 @@ def lsh_multiprobe_topk(
 
     The probe is ONE scan filter — ``bit_count(bucket XOR q) <=
     radius`` — so the plan stays a single pruned pass + cosine top-k;
-    on bucket-partitioned storage a small radius can instead enumerate
-    the C(planes, <=radius) bucket ids for partition pruning.
+    on bucket-partitioned storage a small radius instead enumerates
+    the C(planes, <=radius) bucket ids for partition pruning — see
+    :func:`lsh_multiprobe_enumerated_topk` (same results, IN-list
+    probe) and :func:`build_lsh` + :func:`lsh_multiprobe_persisted`
+    (the partition-pruned executable form).
     Returns (vec_id, cos double) ordered by (-cos, vec_id).
 
     radius=0 is exactly :func:`lsh_bucketed_topk`;
