@@ -194,6 +194,36 @@ def q_bm25(spark, sf):
     return _ranked_e6(Q.bm25_scores(idx, BM25_TERMS), TOP_K)
 
 
+def q_bm25_cold(spark, sf):
+    """BM25 top-k served from the PERSISTED index layout: build once
+    through plans/checkpoint (parquet tables + manifest commit), then
+    load_index() and query purely from storage — the path every query
+    takes at 100 TB (the reference re-opens segment files per query,
+    SegmentInDiskManager.java:259-341). Same oracle as bm25_topk: the
+    persisted layout must be query-identical to the in-session index.
+    scripts/cold_query.py measures this path's latency from a fresh
+    process for BENCH (p95_query_sec_cold)."""
+    import hashlib
+    import os as _os
+
+    from peterman_search_engine_spark.plans.checkpoint import (
+        build_index_checkpointed,
+        load_index,
+    )
+
+    tag = hashlib.sha1(sf.encode()).hexdigest()[:10]
+    work = f"/tmp/pse_entry_cold_{tag}"
+    if not _os.path.exists(_os.path.join(work, "stats.json")):
+        n = _docs(spark, sf).count()
+        build_index_checkpointed(
+            _corpus(spark, sf), work,
+            stem=False, positional=True,
+            docs_per_segment=max(200, -(-n // 64)),
+        )
+    idx = load_index(spark, work)
+    return _ranked_e6(Q.bm25_scores(idx, BM25_TERMS), TOP_K)
+
+
 def q_tfidf(spark, sf):
     idx = _index(spark, sf)
     return _ranked_e6(Q.tfidf_scores(idx, TFIDF_TERMS), TOP_K)
@@ -1097,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facets,
         "phrase_search_compressed": q_phrase_compressed,
         "bm25_topk": q_bm25,
+        "cold_bm25_topk": q_bm25_cold,
         "bm25_topk_stemmed": q_bm25_stemmed,
         "bm25_wand_topk": q_bm25_wand,
         "bm25_wand_forced": q_bm25_wand_forced,
@@ -1183,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": S.sql_facets(OR_TERMS, FACET_COL),
         "phrase_search_compressed": S.sql_phrase(PHRASE),
         "bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
+        "cold_bm25_topk": S.sql_bm25(BM25_TERMS, TOP_K),
         # A3/A4 gate: the oracle reads a stemmed-token fixture built by
         # the shared pure-Python analyzer (DuckDB has no offline
         # stemmer); generated for the sf dir the driver compares at

@@ -91,10 +91,15 @@ def upsert_documents(
 
     Semantics: the result answers every query exactly as an index
     freshly built on the updated corpus (asserted in
-    tests/test_upsert.py) — doc_stats, n_docs, avg_len, df/cf are all
-    post-upsert exact, and both surviving and delta posting rows are
-    encoded with the ONE post-upsert global avg_len (so stored block
-    upper bounds stay sound for WAND).
+    tests/test_round4_ops.py::test_upsert_equals_fresh_rebuild) —
+    doc_stats, n_docs, avg_len, df/cf are all post-upsert exact, and
+    both surviving and delta posting rows are encoded with the ONE
+    post-upsert global avg_len (so stored block upper bounds stay
+    sound for WAND). Pre-existing tombstones are honored: already-
+    deleted docs stay deleted (they are excluded from the post-upsert
+    stats AND compacted out of the postings). Duplicate doc_ids in
+    ``updated`` are collapsed to one arbitrary row per id before any
+    stats are derived.
 
     Plan/scale: (1) exact post-upsert stats from one metadata-sized
     union-aggregate; (2) tombstone + compact the old versions,
@@ -117,12 +122,19 @@ def upsert_documents(
     if block_size is None:
         block_size = index.block_size
 
-    updated = updated.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    updated = updated.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).dropDuplicates(["doc_id"])
     ids = updated.select("doc_id").distinct()
     upd_stats = updated.select(
         "doc_id", F.size(tokens_expr("text")).alias("doc_len")
     )
-    new_stats = index.doc_stats.join(ids, "doc_id", "left_anti").unionByName(
+    # Already-tombstoned docs must NOT resurface via as-built doc_stats
+    # (compact below removes their postings; stats must agree).
+    live_stats = index.doc_stats
+    if index.tombstones is not None:
+        live_stats = live_stats.join(index.tombstones, "doc_id", "left_anti")
+    new_stats = live_stats.join(ids, "doc_id", "left_anti").unionByName(
         upd_stats
     )
     row = new_stats.agg(

@@ -1334,7 +1334,13 @@ ORDER BY nrel.qid"""
 def sql_span_near(terms: list[str], max_gap: int) -> str:
     """Ordered span-near oracle (query.search_span_near): join chain
     requiring each term's position to follow the previous one by at
-    most max_gap."""
+    most max_gap. Terms go through the SAME analyzer the engine
+    applies (``analyze_query(stem=False)`` — TOKS_CTE is the
+    unstemmed A1 analyzer), so mixed-case / stop-word query input
+    cannot diverge between engine and oracle."""
+    from ..functions.analysis import analyze_query
+
+    terms = analyze_query(terms, stem=False)
     esc = [t.replace("'", "''") for t in terms]
     joins, conds = [], [f"t0.tok = '{esc[0]}'"]
     for j in range(1, len(terms)):
@@ -1390,7 +1396,14 @@ def sql_rm3(
     """RM3 pseudo-relevance feedback oracle (ranking.search_rm3):
     stage-1 BM25 selects fb_docs on the e6-rounded score; expansion
     strength is the exact integer sum(tf * score_e6); the expanded
-    weighted query re-ranks."""
+    weighted query re-ranks. Terms are ANALYZED here with the same
+    unstemmed analyzer the engine applies (ranking.py excludes
+    analyzed tokens from expansion, ``orig = set(toks)``), so q0
+    weights and the NOT IN exclusion both operate on analyzed tokens
+    — raw mixed-case / stop-word input cannot diverge."""
+    from ..functions.analysis import analyze_query
+
+    terms = analyze_query(terms, stem=False)
     orig = ", ".join(f"'{t.replace(chr(39), chr(39)*2)}'" for t in sorted(set(terms)))
     return f"""WITH {TOKS_CTE}, {DL_CTE},
 q0(term, qtf) AS (VALUES {_qtf_values(terms)}),

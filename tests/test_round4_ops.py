@@ -144,6 +144,74 @@ def test_upsert_equals_fresh_rebuild(spark, corpus):
     assert _ids(Q.search_phrase(up, ["omega", "rewrite"])) == [1]
 
 
+def test_upsert_honors_preexisting_tombstones(spark, corpus):
+    # An upsert on an index that already carries tombstones must NOT
+    # resurrect the deleted docs: the result equals a fresh rebuild on
+    # (corpus - deleted + updated).
+    from peterman_search_engine_spark.operators.maintenance import (
+        delete_documents,
+    )
+
+    idx = build_index(corpus, stem=False, positional=True, docs_per_segment=3)
+    idx = delete_documents(idx, [2, 5])
+    updated = spark.createDataFrame(
+        [(1, "omega rewrite alpha")], "doc_id long, text string"
+    )
+    up = upsert_documents(idx, updated, docs_per_segment=3)
+    fresh_rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "omega rewrite alpha"),
+        (3, "alpha x y z beta"),
+        (4, "alpha beta alpha beta"),
+        (6, "alpha gamma beta zeta"),
+    ]
+    fresh = build_index(
+        spark.createDataFrame(fresh_rows, "doc_id long, text string"),
+        stem=False, positional=True, docs_per_segment=3,
+    )
+    assert up.n_docs == fresh.n_docs == 5
+    assert up.avg_len == pytest.approx(fresh.avg_len, rel=1e-12)
+    # deleted docs stay gone from stats AND from query results
+    assert _ids(up.doc_stats.select("doc_id")) == [0, 1, 3, 4, 6]
+    assert _ids(Q.search_keyword(up, "epsilon")) == []  # only doc 5 had it
+    assert 2 not in _ids(Q.search_keyword(up, "beta"))
+    for terms in (["omega"], ["alpha", "beta"], ["gamma"]):
+        got = {
+            (r["doc_id"], round(r["score"], 9))
+            for r in Q.bm25_scores(up, terms).collect()
+        }
+        want = {
+            (r["doc_id"], round(r["score"], 9))
+            for r in Q.bm25_scores(fresh, terms).collect()
+        }
+        assert got == want, terms
+    got_ts = {(r["term"], r["df"], r["cf"]) for r in up.term_stats.collect()}
+    want_ts = {
+        (r["term"], r["df"], r["cf"]) for r in fresh.term_stats.collect()
+    }
+    assert got_ts == want_ts
+
+
+def test_upsert_dedupes_updated_doc_ids(spark, corpus):
+    # Duplicate doc_ids in `updated` must collapse to one row per id —
+    # n_docs/avg_len/df/cf are NOT inflated by the duplicates.
+    idx = build_index(corpus, stem=False, positional=True, docs_per_segment=3)
+    updated = spark.createDataFrame(
+        [
+            (1, "omega rewrite alpha"),
+            (1, "omega rewrite alpha"),
+            (1, "omega rewrite alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    up = upsert_documents(idx, updated, docs_per_segment=3)
+    assert up.n_docs == idx.n_docs  # pure replace, no growth
+    assert _ids(up.doc_stats.select("doc_id")) == [0, 1, 2, 3, 4, 5, 6]
+    om = up.term_stats.filter(F.col("term") == "omega").collect()
+    assert [(r["df"], r["cf"]) for r in om] == [(1, 1)]
+    assert _ids(Q.search_keyword(up, "omega")) == [1]
+
+
 def test_upsert_pure_insert(spark, corpus):
     idx = build_index(corpus, stem=False, positional=True, docs_per_segment=3)
     new_docs = spark.createDataFrame(
