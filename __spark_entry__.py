@@ -1002,6 +1002,49 @@ def q_spell_correct(spark, sf):
     )
 
 
+def _spell_index(spark, sf):
+    """Persisted deletion-neighborhood dictionary expansion, built once
+    per (session, sf): variants partitioned by a driver-computable md5
+    bucket so a query prunes to its variants' partitions."""
+    import tempfile
+
+    from peterman_search_engine_spark.operators import spell as SPELL
+
+    key = ("spell", id(spark), sf)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="pse_entry_spell_")
+        _INDEX_CACHE[key] = SPELL.build_spell_index(
+            _index(spark, sf), max_dist=SPELL_DIST, out_dir=d
+        )
+    return _INDEX_CACHE[key]
+
+
+def q_spell_correct_indexed(spark, sf):
+    """Did-you-mean served from the SymSpell deletion-neighborhood
+    index (operators/spell.py) instead of a full dictionary scan: the
+    misspelling's own deletion variants prune the lookup to
+    ``bucket IN`` partitions + ``variant IN`` pushdown, then an exact
+    levenshtein verify restores the precise contract — same oracle as
+    spell_correct (the full-scan form)."""
+    from peterman_search_engine_spark.operators import spell as SPELL
+
+    return SPELL.suggest_spelling_indexed(
+        _spell_index(spark, sf), SPELL_TERM,
+        max_dist=SPELL_DIST, top_k=SPELL_K,
+    )
+
+
+def q_fuzzy_indexed(spark, sf):
+    """Typo-tolerant search with the dictionary expansion served from
+    the deletion-neighborhood index — same results and oracle as
+    fuzzy_search (the full-scan form)."""
+    from peterman_search_engine_spark.operators import spell as SPELL
+
+    return SPELL.search_fuzzy_indexed(
+        _index(spark, sf), _spell_index(spark, sf), FUZZY_TERM, FUZZY_DIST
+    )
+
+
 def q_prf_bm25(spark, sf):
     """RM3 pseudo-relevance feedback (ranking.search_rm3): BM25 top-5
     docs feed 5 expansion terms (exact-integer strength tf*score_e6),
@@ -1184,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_enumerated": q_ann_lsh_enumerated,
         "span_near_search": q_span_near,
         "spell_correct": q_spell_correct,
+        "spell_correct_indexed": q_spell_correct_indexed,
+        "fuzzy_search_indexed": q_fuzzy_indexed,
         "prf_bm25_topk": q_prf_bm25,
         "upsert_bm25_topk": q_upsert_bm25,
         "bm25_page2": q_bm25_page2,
@@ -1309,6 +1354,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_near_search": S.sql_span_near(SPAN_TERMS, SPAN_GAP),
         "spell_correct": S.sql_spell_correct(SPELL_TERM, SPELL_DIST, SPELL_K),
+        "spell_correct_indexed": S.sql_spell_correct(
+            SPELL_TERM, SPELL_DIST, SPELL_K
+        ),
+        "fuzzy_search_indexed": S.sql_fuzzy(FUZZY_TERM, FUZZY_DIST),
         "prf_bm25_topk": S.sql_rm3(
             BM25_TERMS, TOP_K, fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS,
             exp_weight=PRF_EXP_WEIGHT,

@@ -407,9 +407,19 @@ def search_span_near(
     keep their order (each occurrence must advance).
 
     Plan: exactly the phrase plan — candidates from doc_ids alone,
-    positions partial-decoded for candidates only — with the pos+j
-    offset test replaced by a nested ordered-window exists over JVM
-    array lambdas (no Python in the row path). Returns (doc_id)."""
+    positions partial-decoded for candidates only — then ONE Arrow
+    batch per candidate set running a LINEAR level-wise feasible-set
+    merge (the ordered analogue of the reference phrase scan's
+    two-pointer merge, IIM:424-435): S_0 = pos(tok_0); S_j = the
+    positions q of tok_j with some s in S_{j-1} in [q-max_gap, q-1]
+    (vectorized searchsorted over the sorted position lists — both
+    sides ascending by construction of the positional index); the doc
+    matches iff S_{last} is non-empty. Cost per candidate is
+    O(Σ_j |pos_j| · log) — NOT the product of per-term window sizes a
+    nested exists chain pays, so a pathological doc (one token
+    repeated thousands of times, 6+ term query) stays linear-ish
+    (tests/test_round4_ops.py::test_span_near_pathological_doc).
+    Returns (doc_id)."""
     if not index.positional:
         raise ValueError("span-near search requires a positional index")
     if max_gap < 1:
@@ -429,17 +439,28 @@ def search_span_near(
         )
     joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
 
-    def _chain(j: int, prev: Column) -> Column:
-        if j == len(toks):
-            return F.lit(True)
-        return F.exists(
-            F.col(f"p{j}"),
-            lambda q: (q > prev) & (q <= prev + F.lit(int(max_gap)))
-            & _chain(j + 1, q),
-        )
+    gap = int(max_gap)
 
-    cond = F.exists(F.col("p0"), lambda p0: _chain(1, p0))
-    return _live(index, joined.filter(cond).select("doc_id"))
+    @F.pandas_udf("boolean")
+    def _span_ok(plists: pd.Series) -> pd.Series:
+        out = np.zeros(len(plists), dtype=bool)
+        for i, row in enumerate(plists):
+            S = np.asarray(row[0], dtype=np.int64)
+            for j in range(1, len(row)):
+                if S.size == 0:
+                    break
+                pj = np.asarray(row[j], dtype=np.int64)
+                # feasible q: exists s in S with q-gap <= s <= q-1
+                lo = np.searchsorted(S, pj - gap, side="left")
+                hi = np.searchsorted(S, pj, side="left")
+                S = pj[hi > lo]
+            out[i] = S.size > 0
+        return pd.Series(out)
+
+    arrs = F.array(*[F.col(f"p{j}") for j in range(len(toks))])
+    return _live(
+        index, joined.filter(_span_ok(arrs)).select("doc_id")
+    )
 
 
 def suggest_spelling(

@@ -40,6 +40,21 @@ Semantics:
   before trusting block-max WAND pruning on a streaming-built index;
   every non-WAND query is exact without it, and WAND's block ranges
   are duplicate-row-safe either way (``operators.wand``).
+* **upserts** (default on): a re-sent ``conv_id`` SUPERSEDES its old
+  turns — the streaming twin of ``maintenance.upsert_documents``.
+  Each batch writes a ``doc_map`` partition
+  ``(conv_id, turn_idx, doc_id, doc_len)`` hash-bucketed by conv_id;
+  a later batch carrying a known conv_id finds the prior doc_ids with
+  a bucket-pruned probe (it reads |batch-conv buckets|/64 of the map,
+  NOT the whole map) and tombstones them. Queries over the loaded
+  index exclude superseded turns immediately (``query._live``), and
+  n_docs / avg_len fold exactly from manifests (each manifest records
+  what it superseded, so the fold is O(#batches) driver work — no
+  load-time scan). df/cf still count superseded turns until
+  ``reencode_blocks``, which physically compacts tombstones and
+  restores exact fresh-rebuild equivalence (asserted in
+  tests/test_streaming_upsert.py); block-max WAND routes exhaustive
+  while tombstones exist, same as the batch delete path.
 """
 
 from __future__ import annotations
@@ -89,6 +104,23 @@ def _batch_manifest(index_dir: str, batch_id: int) -> str:
     return os.path.join(index_dir, "_manifest", f"batch_{batch_id}.json")
 
 
+# conv_id hash buckets for the doc_map layout: an upsert probe reads
+# |buckets(batch convs)|/N of the map instead of scanning it
+DOC_MAP_BUCKETS = 64
+
+
+def _compaction_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_compaction.json")
+
+
+def _read_compaction(index_dir: str) -> dict | None:
+    p = _compaction_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def read_manifests(index_dir: str) -> list[dict]:
     mdir = os.path.join(index_dir, "_manifest")
     rows = []
@@ -101,14 +133,25 @@ def read_manifests(index_dir: str) -> list[dict]:
 
 
 def fold_stats(index_dir: str) -> dict:
-    """Dynamic corpus stats derived from COMMITTED batch manifests —
-    the single source of truth (a manifest row implies durable data,
-    so these can never disagree with the index contents)."""
-    n_docs = total_len = 0
-    max_doc_id = -1
+    """LIVE corpus stats derived from COMMITTED batch manifests — the
+    single source of truth (a manifest row implies durable data, so
+    these can never disagree with the index contents). Each manifest
+    records what its batch superseded (upserts), so the fold is exact
+    for live docs with O(#batches) driver work — no data scan. A
+    compaction snapshot (``_compaction.json``), when present, replaces
+    the manifests it folded; only newer batches are added on top."""
+    comp = _read_compaction(index_dir)
+    if comp is not None:
+        n_docs, total_len = comp["n_docs"], comp["total_len"]
+        max_doc_id, through = comp["max_doc_id"], comp["through_batch"]
+    else:
+        n_docs = total_len = 0
+        max_doc_id, through = -1, -1
     for m in read_manifests(index_dir):
-        n_docs += m["n_docs"]
-        total_len += m["total_len"]
+        if m["batch"] <= through:
+            continue
+        n_docs += m["n_docs"] - m.get("n_superseded", 0)
+        total_len += m["total_len"] - m.get("superseded_len", 0)
         max_doc_id = max(max_doc_id, m["doc_id_hi"] - 1)
     return {
         "n_docs": n_docs,
@@ -127,11 +170,14 @@ def ingest_batch(
     positional: bool = True,
     docs_per_segment: int = 100_000,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    upsert: bool = True,
 ) -> None:
     """foreachBatch body: one micro-batch of transcript rows → one
     posting group appended to the index. Also usable directly for
-    batch-wise incremental loads. Reads NOTHING from prior groups —
-    per-batch cost is O(batch)."""
+    batch-wise incremental loads. Reads nothing data-sized from prior
+    groups — per-batch cost is O(batch) plus, when ``upsert``, a
+    bucket-pruned probe of the conv_id→doc_id map (metadata-width
+    rows, |batch-conv buckets|/64 of them)."""
     if os.path.exists(_batch_manifest(index_dir, batch_id)):
         return  # replayed batch — already durable
     if batch_df.isEmpty():
@@ -141,28 +187,91 @@ def ingest_batch(
     cfg = _load_config(index_dir, stem, positional, docs_per_segment, block_size)
     _save_config(index_dir, cfg)
     prior = fold_stats(index_dir)
-    base, prior_len = prior["n_docs"], prior["total_len"]
+    # doc_ids continue above every id ever issued (NOT the live count:
+    # with upserts n_docs < max_doc_id+1, and superseded ids must never
+    # be reused — the reference's insertion-order docID counter is
+    # append-only the same way, IIM:194-197)
+    base = prior["max_doc_id"] + 1
+    prior_n, prior_len = prior["n_docs"], prior["total_len"]
 
     # dense doc_ids continuing from the running total, stable
     # (conv_id, turn_idx) order within the batch, via the two-level
     # scheme (range partition + partition-local row numbers + driver
     # prefix sum of partition counts) — no single-partition window,
-    # so a huge micro-batch still parallelizes.
+    # so a huge micro-batch still parallelizes. assign_dense_doc_ids
+    # localCheckpoints the ordered layout, so the id assignment below
+    # is pinned — doc_map and postings see the same ids.
     from ..sources.adapters import assign_dense_doc_ids
 
-    corpus = (
-        assign_dense_doc_ids(batch_df, ["conv_id", "turn_idx"])
-        .withColumn("doc_id", F.col("doc_id") + F.lit(base))
-        .select("doc_id", "text")
-    )
+    assigned = assign_dense_doc_ids(
+        batch_df, ["conv_id", "turn_idx"]
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    corpus = assigned.select("doc_id", "text")
     toks = tokenize_corpus(corpus, stem=cfg["stem"]).localCheckpoint(eager=True)
 
     lens = toks.agg(
         F.count("*").alias("n"), F.sum(F.size("tokens")).alias("total")
     ).collect()[0]
     n_batch, len_batch = int(lens["n"]), int(lens["total"] or 0)
-    new_n = base + n_batch
-    avg_len = (prior_len + len_batch) / new_n if new_n else 0.0
+
+    # conv identity → internal doc id (+ doc_len, so a future upsert
+    # learns the superseded length from the map probe alone), bucketed
+    # by conv_id hash so that probe partition-prunes
+    from ..operators.spell import _bucket_expr
+
+    doc_map = (
+        assigned.select("conv_id", "turn_idx", "doc_id")
+        .join(toks.select("doc_id", F.size("tokens").alias("doc_len")), "doc_id")
+        .withColumn("bucket", _bucket_expr(F.col("conv_id"), DOC_MAP_BUCKETS))
+    )
+    doc_map.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "doc_map", f"batch={batch_id}")
+    )
+
+    n_sup, sup_len = 0, 0
+    map_root = os.path.join(index_dir, "doc_map")
+    has_prior_map = any(
+        e != f"batch={batch_id}" and e.startswith("batch=")
+        for e in os.listdir(map_root)
+    )
+    if upsert and has_prior_map:
+        spark = batch_df.sparkSession
+        bks = [
+            r["b"]
+            for r in assigned.select(
+                _bucket_expr(F.col("conv_id"), DOC_MAP_BUCKETS).alias("b")
+            ).distinct().collect()
+        ]
+        prior_map = (
+            spark.read.option("basePath", map_root).parquet(map_root)
+            .filter(F.col("batch") < batch_id)
+            .filter(F.col("bucket").isin(sorted(bks)))
+        )
+        superseded = prior_map.join(
+            assigned.select("conv_id").distinct(), "conv_id", "semi"
+        ).select("doc_id", "doc_len")
+        tomb_root = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_root):
+            # already-superseded ids must not be counted twice in the
+            # manifest fold (conv re-sent a third time)
+            prior_tomb = (
+                spark.read.option("basePath", tomb_root).parquet(tomb_root)
+                .filter(F.col("batch") < batch_id)
+                .select("doc_id")
+            )
+            superseded = superseded.join(prior_tomb, "doc_id", "left_anti")
+        superseded = superseded.localCheckpoint(eager=True)
+        agg = superseded.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("len")
+        ).collect()[0]
+        n_sup, sup_len = int(agg["n"]), int(agg["len"] or 0)
+        if n_sup:
+            superseded.select("doc_id").write.mode("overwrite").parquet(
+                os.path.join(tomb_root, f"batch={batch_id}")
+            )
+
+    new_n = prior_n - n_sup + n_batch
+    avg_len = (prior_len - sup_len + len_batch) / new_n if new_n else 0.0
 
     # raw_positions=False: same persisted contract as plans.checkpoint
     # — positions live on disk only as the per-(term,doc) delta+varint
@@ -203,6 +312,8 @@ def ingest_batch(
         "doc_id_hi": base + n_batch,
         "n_docs": n_batch,
         "total_len": len_batch,
+        "n_superseded": n_sup,
+        "superseded_len": sup_len,
         "posting_rows": int(agg["rows"]),
         "posting_entries": int(agg["entries"] or 0),
         "blob_bytes": int(agg["blob_bytes"] or 0),
@@ -226,6 +337,7 @@ def start_incremental_build(
     docs_per_segment: int = 100_000,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    upsert: bool = True,
 ):
     """readStream(transcript parquet dir) → foreachBatch(ingest_batch).
     Returns the StreamingQuery; with ``available_now`` it drains the
@@ -246,6 +358,7 @@ def start_incremental_build(
             stem=stem,
             positional=positional,
             docs_per_segment=docs_per_segment,
+            upsert=upsert,
         )
 
     writer = stream.writeStream.foreachBatch(_process).option(
@@ -278,14 +391,25 @@ def load_streaming_index(spark: SparkSession, index_dir: str):
         postings = with_positions(postings)
         positions_decoded = True
 
+    # term_stats: the materialized table (written by reencode_blocks,
+    # which deletes the deltas it folded) plus any per-batch deltas
+    # ingested SINCE that materialization — both present means batches
+    # arrived after a compaction, and the sum of the two is exact
     ts_dir = os.path.join(index_dir, "term_stats")
+    td_dir = os.path.join(index_dir, "term_stats_delta")
+    parts = []
     if os.path.isdir(ts_dir):
-        term_stats = spark.read.parquet(ts_dir)
-    else:
-        deltas = spark.read.option(
-            "basePath", os.path.join(index_dir, "term_stats_delta")
-        ).parquet(os.path.join(index_dir, "term_stats_delta"))
-        term_stats = deltas.groupBy("term").agg(
+        parts.append(spark.read.parquet(ts_dir).select("term", "df", "cf"))
+    if os.path.isdir(td_dir) and os.listdir(td_dir):
+        parts.append(
+            spark.read.option("basePath", td_dir).parquet(td_dir)
+            .select("term", "df", "cf")
+        )
+    term_stats = parts[0]
+    if len(parts) > 1:
+        term_stats = parts[0].unionByName(parts[1])
+    if len(parts) > 1 or not os.path.isdir(ts_dir):
+        term_stats = term_stats.groupBy("term").agg(
             F.sum("df").alias("df"), F.sum("cf").alias("cf")
         )
 
@@ -294,6 +418,25 @@ def load_streaming_index(spark: SparkSession, index_dir: str):
     ).parquet(os.path.join(index_dir, "doc_stats"))
     if "batch" in ds.columns:
         ds = ds.drop("batch")
+
+    # superseded turns (upserts): queries exclude them via _live; n_docs
+    # / avg_len above are already live-exact (manifest fold). df/cf
+    # still count them until reencode_blocks — same drift contract as
+    # maintenance.delete_documents, and WAND routes exhaustive while
+    # tombstones exist. Tombstone partitions already folded into a
+    # compaction snapshot are dead (their docs are physically gone).
+    tombstones = None
+    comp = _read_compaction(index_dir)
+    through = comp["through_batch"] if comp else -1
+    tomb_root = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb_root) and os.listdir(tomb_root):
+        t = (
+            spark.read.option("basePath", tomb_root).parquet(tomb_root)
+            .filter(F.col("batch") > through)
+            .select("doc_id").distinct()
+        )
+        if t.take(1):
+            tombstones = t
 
     bm_dir = os.path.join(index_dir, "block_meta")
     return InvertedIndex(
@@ -307,6 +450,7 @@ def load_streaming_index(spark: SparkSession, index_dir: str):
         block_size=cfg.get("block_size", DEFAULT_BLOCK_SIZE),
         block_meta=spark.read.parquet(bm_dir) if os.path.isdir(bm_dir) else None,
         positions_decoded=positions_decoded,
+        tombstones=tombstones,
     )
 
 
@@ -322,41 +466,115 @@ def reencode_blocks(
     doc order — batches hold disjoint doc ranges, so this is the
     merge_segments factor=1 aggregation) and recompute every blob and
     block upper bound with the FINAL avg_len, making block-max WAND
-    bounds fresh. Also materializes term_stats and the narrow
-    block_meta table. Commits by directory swap (postings →
+    bounds fresh. When upserts left tombstones, this pass also
+    PHYSICALLY removes the superseded docs (maintenance.compact_deletes
+    — explode → anti-join → re-aggregate, the same shape), rewrites
+    doc_stats and the conv→doc map without them, and records a
+    ``_compaction.json`` snapshot that the manifest fold builds on —
+    after it the index is query-identical to a fresh build on the live
+    corpus (df/cf drift gone). Also materializes term_stats and the
+    narrow block_meta table. Commits by directory swap (postings →
     postings_old → removed); a crash mid-swap leaves postings_old as
-    the recovery copy."""
+    the recovery copy, and every intermediate crash window leaves a
+    state the loader reads consistently (tombstones just go redundant
+    once their docs are physically gone)."""
+    import shutil
+
     from ..operators.indexer import merge_segments
     from ..operators.wand import block_meta_df
 
     idx = load_streaming_index(spark, index_dir)
     if block_size is None:
         block_size = idx.block_size
-    # factor=1 keeps segment ids; the groupBy(segment, term) merges the
-    # per-batch duplicate rows and the encode UDF re-derives blob +
-    # blocks from the merged lists with the final avg_len
-    merged = merge_segments(idx, factor=1, block_size=block_size)
+    had_tombstones = idx.tombstones is not None
+    if had_tombstones:
+        from ..operators.maintenance import compact_deletes
 
+        merged = compact_deletes(idx, block_size=block_size)
+    else:
+        # factor=1 keeps segment ids; the groupBy(segment, term) merges
+        # the per-batch duplicate rows and the encode UDF re-derives
+        # blob + blocks from the merged lists with the final avg_len
+        merged = merge_segments(idx, factor=1, block_size=block_size)
+
+    # Phase 1 — write every .new artifact while the OLD files still
+    # exist (the merged/compacted plans are lazy reads over them; a
+    # swap before the last dependent write would pull files out from
+    # under a running job).
     pdir = os.path.join(index_dir, "postings")
-    new_dir = pdir + ".new"
-    old_dir = pdir + ".old"
     out = merged.postings
-    if merged.positional:
+    if merged.positional and "positions" in out.columns:
         out = out.drop("positions")  # persisted contract: compressed only
-    out.write.mode("overwrite").parquet(new_dir)
-
+    # group=compacted keeps the partitioned layout uniform, so batches
+    # ingested AFTER a compaction (group=stream_N dirs) coexist with it
+    if os.path.isdir(pdir + ".new"):
+        shutil.rmtree(pdir + ".new")
+    out.write.parquet(os.path.join(pdir + ".new", "group=compacted"))
     merged.term_stats.write.mode("overwrite").parquet(
         os.path.join(index_dir, "term_stats")
     )
-    if os.path.isdir(old_dir):
-        import shutil
+    ds_root = os.path.join(index_dir, "doc_stats")
+    map_root = os.path.join(index_dir, "doc_map")
+    prune_map = False
+    if had_tombstones:
+        # live-only doc_stats (batch=-1 keeps the partition layout)
+        if os.path.isdir(ds_root + ".new"):
+            shutil.rmtree(ds_root + ".new")
+        merged.doc_stats.write.parquet(os.path.join(ds_root + ".new", "batch=-1"))
+        # prune superseded rows from the conv→doc map so a future
+        # upsert of the same conv never re-tombstones (and the manifest
+        # fold never double-subtracts) docs that are already gone
+        prune_map = os.path.isdir(map_root)
+        if prune_map:
+            if os.path.isdir(map_root + ".new"):
+                shutil.rmtree(map_root + ".new")
+            (
+                spark.read.option("basePath", map_root).parquet(map_root)
+                .join(idx.tombstones, "doc_id", "left_anti")
+                .write.partitionBy("batch", "bucket")
+                .parquet(map_root + ".new")
+            )
+        # snapshot stats come from the .new files — independent of the
+        # about-to-be-removed old layout
+        row = spark.read.parquet(ds_root + ".new").agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("len")
+        ).collect()[0]
+        snap = {
+            "through_batch": max(
+                m["batch"] for m in read_manifests(index_dir)
+            ),
+            "n_docs": int(row["n"]),
+            "total_len": int(row["len"] or 0),
+            "max_doc_id": fold_stats(index_dir)["max_doc_id"],
+        }
 
-        shutil.rmtree(old_dir)
-    os.rename(pdir, old_dir)
-    os.rename(new_dir, pdir)
-    import shutil
+    # Phase 2 — directory swaps + the compaction snapshot commit.
+    def _swap(root: str) -> None:
+        if os.path.isdir(root + ".old"):
+            shutil.rmtree(root + ".old")
+        os.rename(root, root + ".old")
+        os.rename(root + ".new", root)
+        shutil.rmtree(root + ".old")
 
-    shutil.rmtree(old_dir)
+    _swap(pdir)
+    # the materialized term_stats now covers every ingested group;
+    # drop the folded deltas so the loader never double-counts (a
+    # crash between the two writes is recovered by re-running this
+    # rerunnable compaction, which rebuilds both from postings)
+    td_dir = os.path.join(index_dir, "term_stats_delta")
+    if os.path.isdir(td_dir):
+        shutil.rmtree(td_dir)
+    if had_tombstones:
+        _swap(ds_root)
+        if prune_map:
+            _swap(map_root)
+        tmp = _compaction_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, _compaction_path(index_dir))
+        tomb_root = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_root):
+            shutil.rmtree(tomb_root)
 
     final = load_streaming_index(spark, index_dir)
     final.block_meta = None  # derive fresh from the rewritten postings

@@ -52,6 +52,38 @@ def test_span_near_orders_and_gaps(index):
         Q.search_span_near(index, ["alpha", "beta"], 0)
 
 
+def test_span_near_pathological_doc(spark):
+    # Worst case for a nested per-position exists chain: one token
+    # repeated L times means ~L·2^(m-1) backtracking paths, each paying
+    # an O(L) array scan — super-linear blowup. The level-wise
+    # feasible-set merge is O(Σ|positions|·log) per candidate, so this
+    # must finish in seconds AND be exact.
+    import time
+
+    L = 20_000
+    rows = [
+        # doc 0: L×"aa" then filler then "bb" far beyond any gap-2
+        # chain — every 5-step chain of "aa" succeeds, the final "bb"
+        # step always fails => the old plan explores ~all chains.
+        (0, " ".join(["aa"] * L) + " " + " ".join(["cc"] * 10) + " bb"),
+        # doc 1: same spam prefix but "bb" adjacent — must match.
+        (1, " ".join(["aa"] * L) + " bb"),
+        (2, "aa bb cc"),
+    ]
+    idx = build_index(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        stem=False, positional=True, docs_per_segment=2,
+    )
+    q = ["aa", "aa", "aa", "aa", "aa", "bb"]
+    t0 = time.perf_counter()
+    got = _ids(Q.search_span_near(idx, q, 2))
+    wall = time.perf_counter() - t0
+    assert got == [1]
+    # repeated-token self-query: any 6-chain of consecutive "aa"
+    assert _ids(Q.search_span_near(idx, ["aa"] * 6, 1)) == [0, 1]
+    assert wall < 60, wall  # linear-ish; the nested chain never returns
+
+
 def test_span_near_requires_positions(corpus):
     idx = build_index(corpus, stem=False, positional=False, docs_per_segment=3)
     with pytest.raises(ValueError):
