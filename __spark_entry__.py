@@ -1083,6 +1083,62 @@ def q_upsert_bm25(spark, sf):
     return _ranked_e6(Q.bm25_scores(_INDEX_CACHE[key], UPSERT_TERMS), TOP_K)
 
 
+def q_streaming_upsert_bm25(spark, sf):
+    """Streaming upserts (incremental.ingest_batch upsert=True): batch
+    0 ingests the whole corpus as conversations, batch 1 RE-SENDS the
+    docs with doc_id % UPSERT_MOD == 0 carrying UPSERT_SUFFIX — the
+    re-sent conv_ids supersede their old turns via the bucket-pruned
+    conv→doc map probe + tombstones, and after reencode_blocks
+    (physical compaction) the index must rank exactly like a fresh
+    build on the updated corpus: same oracle as upsert_bm25_topk (the
+    batch maintenance.upsert_documents form). Internal doc_ids map
+    back to table ids through the conv→doc map the upsert maintains."""
+    import tempfile
+
+    from peterman_search_engine_spark.streaming.incremental import (
+        ingest_batch,
+        load_streaming_index,
+        reencode_blocks,
+    )
+
+    key = ("stream_upsert", id(spark), sf)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="pse_entry_supsert_")
+        docs = _docs(spark, sf).select(
+            F.format_string("c%09d", F.col("doc_id").cast("long")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "text",
+            F.col("doc_id").cast("long").alias("_id"),
+        )
+        ingest_batch(docs.drop("_id"), d, 0, stem=False, docs_per_segment=200)
+        upd = docs.filter(F.col("_id") % UPSERT_MOD == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(UPSERT_SUFFIX))
+        )
+        ingest_batch(upd.drop("_id"), d, 1, stem=False, docs_per_segment=200)
+        reencode_blocks(spark, d)
+        idx = load_streaming_index(spark, d)
+        idx.postings = idx.postings.localCheckpoint(eager=True)
+        idx.doc_stats = idx.doc_stats.localCheckpoint(eager=True)
+        idx.term_stats = idx.term_stats.localCheckpoint(eager=True)
+        dm = (
+            spark.read.option("basePath", f"{d}/doc_map")
+            .parquet(f"{d}/doc_map")
+            .select(
+                "doc_id",
+                F.expr("cast(substring(conv_id, 2, 18) as long)").alias("_orig"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _INDEX_CACHE[key] = (idx, dm)
+    idx, dm = _INDEX_CACHE[key]
+    remapped = (
+        Q.bm25_scores(idx, UPSERT_TERMS)
+        .join(dm, "doc_id")
+        .select(F.col("_orig").alias("doc_id"), "score")
+    )
+    return _ranked_e6(remapped, TOP_K)
+
+
 LSH_ENUM_RADIUS = 1
 
 
@@ -1231,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search_indexed": q_fuzzy_indexed,
         "prf_bm25_topk": q_prf_bm25,
         "upsert_bm25_topk": q_upsert_bm25,
+        "streaming_upsert_bm25": q_streaming_upsert_bm25,
         "bm25_page2": q_bm25_page2,
         "rank_eval": q_rank_eval,
     }
@@ -1363,6 +1420,9 @@ def oracle_sql() -> dict[str, str]:
             exp_weight=PRF_EXP_WEIGHT,
         ),
         "upsert_bm25_topk": S.sql_upsert_bm25(
+            UPSERT_TERMS, TOP_K, UPSERT_MOD, UPSERT_SUFFIX
+        ),
+        "streaming_upsert_bm25": S.sql_upsert_bm25(
             UPSERT_TERMS, TOP_K, UPSERT_MOD, UPSERT_SUFFIX
         ),
         "bm25_page2": S.sql_bm25_page2(BM25_TERMS, TOP_K),
