@@ -37,6 +37,9 @@ def get_spark(
         # Keep scans wide enough to parallelize at small SF too.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("PSE_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench noise); PSE_UI=true turns it on
+        # for scripts that read task metrics from the REST API
+        # (scripts/skew_study.py).
+        .config("spark.ui.enabled", os.environ.get("PSE_UI", "false"))
     )
     return b.getOrCreate()
