@@ -352,6 +352,70 @@ def main() -> None:
              / quiet_med[names[0]]["docs_per_sec"]) / 4.0,
             4,
         )
+    # paired-per-round efficiency: the interleaved protocol writes one
+    # N row then one 4N row per round, so pairing ADJACENT rows (in
+    # file order, current fp only) measures the two legs through the
+    # SAME host phase — robust against the denominator-inflation
+    # failure mode where a quiet phase speeds the 2-core baseline more
+    # than the bandwidth-saturated 8-core leg and the unpaired ratio
+    # drops without the job changing at all.
+    paired_effs: list[float] = []
+    pend: dict[str, float] = {}
+    with open(history_path) as hf:
+        for line in hf:
+            row = json.loads(line)
+            if (
+                row.get("build_fp") != fp
+                or row["n_turns"] != n_turns
+                or row["leg"] not in LEGS
+                or row.get("tainted")
+            ):
+                continue
+            pend[row["leg"]] = row["turns_per_sec"]
+            if len(pend) == len(LEGS):
+                a, b = (pend[n] for n in names)
+                paired_effs.append(round((b / a) / 4.0, 4))
+                pend = {}
+    eff_paired_median = (
+        round(statistics.median(paired_effs), 4) if paired_effs else None
+    )
+    eff_paired_best = max(paired_effs) if paired_effs else None
+
+    # cross-code context: the same two legs at the same input size
+    # pooled over EVERY fingerprint in the history — build-path
+    # commits restart the stats population by design, so this shows
+    # whether a sub-target current-fp number is a code regression
+    # (per-leg maxima would move) or a host phase (maxima static,
+    # medians shifted).
+    all_rows: dict[str, list[dict]] = {}
+    with open(history_path) as hf:
+        for line in hf:
+            row = json.loads(line)
+            if (
+                row["n_turns"] != n_turns
+                or row["leg"] not in LEGS
+                or row.get("tainted")
+            ):
+                continue
+            all_rows.setdefault(row["leg"], []).append(row)
+    hist_ctx = {
+        n: {
+            "n_obs": len(rs),
+            "best_turns_per_sec": max(r["turns_per_sec"] for r in rs),
+            "median_turns_per_sec": round(
+                statistics.median(r["turns_per_sec"] for r in rs), 2
+            ),
+        }
+        for n, rs in all_rows.items()
+    }
+    eff_best_allhist = None
+    if all(n in hist_ctx for n in names):
+        eff_best_allhist = round(
+            (hist_ctx[names[1]]["best_turns_per_sec"]
+             / hist_ctx[names[0]]["best_turns_per_sec"]) / 4.0,
+            4,
+        )
+
     summary = {
         "tier": args.tier,
         "n_turns": n_turns,
@@ -369,6 +433,11 @@ def main() -> None:
             n: quiet_med.get(n) for n in names
         },
         "scaling_efficiency_N_to_4N_quiet_median": eff_quiet,
+        "scaling_efficiency_paired_median": eff_paired_median,
+        "scaling_efficiency_paired_best": eff_paired_best,
+        "n_paired_rounds": len(paired_effs),
+        "history_all_fingerprints": hist_ctx,
+        "scaling_efficiency_best_all_history": eff_best_allhist,
         "canary_best_mb_s": cmax,
         "peak_local32_turns_per_sec": peak["docs_per_sec"] if peak else None,
     }
@@ -431,8 +500,43 @@ def main() -> None:
                 if eff_quiet is not None
                 else ""
             )
-            + "** (target >= 0.8)\n\n"
-            "Quiet-host classification is outcome-independent: each leg\n"
+            + (
+                f", paired-per-round median = {eff_paired_median} "
+                f"(best {eff_paired_best}, {len(paired_effs)} rounds)"
+                if eff_paired_median is not None
+                else ""
+            )
+            + "** (target >= 0.8). The paired statistic ratios the two\n"
+            "legs of the SAME interleaved round (same host phase), so\n"
+            "it is immune to the inflation that hits the unpaired\n"
+            "ratios when a quiet phase speeds the 2-core baseline more\n"
+            "than the bandwidth-saturated 8-core leg.\n\n"
+            + (
+                (
+                    "Cross-code history at this input size (all\n"
+                    "fingerprints pooled — the per-leg MAXIMA are the\n"
+                    "regression canary: a build-code slowdown moves\n"
+                    "them, a host phase only shifts the medians):\n\n"
+                    "| leg | obs | best turns/sec | median turns/sec |\n"
+                    "|---|---|---|---|\n"
+                    + "".join(
+                        f"| {n} | {hist_ctx[n]['n_obs']} | "
+                        f"{hist_ctx[n]['best_turns_per_sec']} | "
+                        f"{hist_ctx[n]['median_turns_per_sec']} |\n"
+                        for n in names
+                        if n in hist_ctx
+                    )
+                    + (
+                        f"\nAll-history best-of efficiency = "
+                        f"{eff_best_allhist}.\n\n"
+                        if eff_best_allhist is not None
+                        else "\n"
+                    )
+                )
+                if hist_ctx
+                else ""
+            )
+            + "Quiet-host classification is outcome-independent: each leg\n"
             "is bracketed by a ~3 s 8-core memcpy canary run BETWEEN\n"
             "jobs (never concurrently), and a row counts as quiet when\n"
             f"min(canary_pre, canary_post) >= {QUIET_FRAC} x the best\n"
