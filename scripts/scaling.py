@@ -60,6 +60,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -445,6 +446,25 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Carry hand-maintained sections (population notes, the p95
+    # definition, ...) across regenerations: anything wrapped in
+    # <!-- hand-maintained --> ... <!-- /hand-maintained --> in the
+    # existing file is re-inserted verbatim before the "Why N=2"
+    # section. Without this, every scaling run silently deleted
+    # prose added to BASELINE.md by hand.
+    hand_blocks = ""
+    try:
+        with open(md) as f:
+            old_md = f.read()
+        hand_blocks = "".join(
+            b.rstrip("\n") + "\n\n"
+            for b in re.findall(
+                r"<!-- hand-maintained -->\n.*?<!-- /hand-maintained -->",
+                old_md, re.S,
+            )
+        )
+    except OSError:
+        pass
     with open(md, "w") as f:
         f.write(
             "# BENCH/BASELINE — two-cluster-size scaling evidence\n\n"
@@ -556,7 +576,8 @@ def main() -> None:
             "this container, so the manifest fallback — same commit\n"
             "contract at checkpoint-group granularity — is what these\n"
             "numbers measure).\n\n"
-            "## Why N=2 cores / 4N=8 cores (and not 8 -> 32)\n\n"
+            + hand_blocks
+            + "## Why N=2 cores / 4N=8 cores (and not 8 -> 32)\n\n"
             "This box is one socket (32 cores, shared 44 MB L3, shared\n"
             "memory channels). Measured controls on the same machine:\n\n"
             "- pure-arithmetic burn (no memory traffic): 0.82+ efficiency\n"
